@@ -1,0 +1,359 @@
+"""The MICA multi-task 3-D network, TPU-native (flax.linen, NDHWC).
+
+Behavioral re-design of the reference network (models/model.py:5-348): a
+multi-scale input stem over a 1-channel density cube plus an optional
+24-channel AF3 encoding, three stride-1 encoder stages with residual-dense
+blocks and dual (local depthwise + global squeeze-excite) attention, a
+weighted FPN fusion, and three cascaded task heads (backbone 4-class,
+C-alpha 4-class, amino-acid 21-class).
+
+TPU-first choices:
+  * channels-last (N, D, H, W, C) layout — XLA's native conv layout on TPU,
+    keeping the channel dim on the 128-lane axis;
+  * configurable compute dtype (bfloat16 by default for inference) with
+    float32 parameters and float32 instance-norm statistics;
+  * the data-dependent "is the AF3 input all zero?" branch
+    (reference model.py:59-63) is expressed as a per-sample ``jnp.where``
+    select between the two stem outputs, so the whole forward pass is a
+    single traced graph (no host sync, no retrace);
+  * everything is stride-1 at 64-cubes, so all convs keep static shapes and
+    XLA tiles them straight onto the MXU.
+
+Since there is no spatial downsampling anywhere in the reference network
+(its encoder "transitions" are stride-1, model.py:142, making the FPN's
+trilinear interpolation a no-op), the FPN here simply fuses the three
+equal-size encoder outputs.
+
+Dropout rates follow the reference's epoch schedule (model.py:295-329) via
+the ``dropout_rate`` call argument; heads use 2x the base rate
+(model.py:291-293).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over spatial dims, no affine (torch InstanceNorm3d default).
+
+    Statistics are computed in float32 regardless of compute dtype.
+    """
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dt)
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool3d(1) equivalent: mean over D,H,W, keepdims."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3), keepdims=True).astype(x.dtype)
+
+
+class ChannelDropout(nn.Module):
+    """torch Dropout3d equivalent: drops whole channels per sample."""
+
+    @nn.compact
+    def __call__(self, x, rate: float, train: bool):
+        if not train or rate == 0.0:
+            return x
+        return nn.Dropout(rate=rate, broadcast_dims=(1, 2, 3), deterministic=False)(x)
+
+
+class Conv(nn.Module):
+    """3-D conv with SAME padding, torch-compatible init (xavier_normal)."""
+
+    features: int
+    kernel: int = 3
+    groups: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel,) * 3,
+            padding="SAME",
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_normal(),
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excite with dense bottleneck (reference model.py:241-258)."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, dropout_rate: float, train: bool):
+        y = global_avg_pool(x).reshape(x.shape[0], self.channels)
+        y = nn.Dense(self.channels // self.reduction, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.xavier_normal())(y)
+        y = nn.relu(y)
+        if train and dropout_rate > 0.0:
+            y = nn.Dropout(rate=dropout_rate, deterministic=False)(y)
+        y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.xavier_normal())(y)
+        y = nn.sigmoid(y)
+        return x * y.reshape(x.shape[0], 1, 1, 1, self.channels)
+
+
+class MultiScaleInput(nn.Module):
+    """Input stem: parallel k=3/5/7/9 convs + SE attention + AF3 gate.
+
+    Reference model.py:5-74.  The AF3 branch is always computed and selected
+    per-sample against the map-only branch with a ``where`` on the
+    "AF3 all-zero" predicate, replacing the reference's Python branch.
+    """
+
+    base: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, exp_map, af_features, dropout_rate: float, train: bool):
+        drop = ChannelDropout()
+        if train and dropout_rate > 0.0:
+            exp_map = drop(exp_map, dropout_rate, train)
+
+        feats = [
+            Conv(self.base // 2, k, dtype=self.dtype, name=f"exp_conv{i}")(exp_map)
+            for i, k in enumerate((3, 5, 7, 9))
+        ]
+        x_exp = jnp.concatenate(feats, axis=-1)  # 2*base channels
+
+        # SE-style attention over the multi-scale features
+        a = global_avg_pool(x_exp)
+        a = Conv(self.base, 1, dtype=self.dtype, name="exp_attn0")(a)
+        a = nn.relu(a)
+        a = Conv(self.base * 2, 1, dtype=self.dtype, name="exp_attn1")(a)
+        a = nn.sigmoid(a)
+        x_exp_enhanced = x_exp * a
+
+        exp_only = Conv(self.base, 1, dtype=self.dtype, name="exp_downsizing")(x_exp_enhanced)
+
+        if af_features is None:
+            return exp_only
+
+        # per-sample predicate: AF3 features effectively absent
+        af_zero = (
+            jnp.sum(jnp.abs(af_features.astype(jnp.float32)), axis=(1, 2, 3, 4))
+            < 1e-6
+        )
+
+        if train and dropout_rate > 0.0:
+            af_features = drop(af_features, dropout_rate, train)
+        x_feat = Conv(self.base, 3, dtype=self.dtype, name="feat_conv")(af_features)
+        g = Conv(self.base // 4, 1, dtype=self.dtype, name="feat_gate0")(x_feat)
+        g = nn.relu(g)
+        g = Conv(1, 1, dtype=self.dtype, name="feat_gate1")(g)
+        g = nn.sigmoid(g)
+        x_feat_weighted = x_feat * g
+
+        fused = Conv(self.base, 1, dtype=self.dtype, name="fusion")(
+            jnp.concatenate([x_exp_enhanced, x_feat_weighted], axis=-1)
+        )
+        return jnp.where(af_zero.reshape(-1, 1, 1, 1, 1), exp_only, fused)
+
+
+class DualAttention(nn.Module):
+    """Depthwise local attention + global SE, fused 1x1 (model.py:76-101)."""
+
+    channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, dropout_rate: float, train: bool):
+        local = Conv(self.channels, 3, groups=self.channels, dtype=self.dtype,
+                     name="local_conv")(x)
+        local = instance_norm(local)
+        local = nn.relu(local)
+        local = ChannelDropout()(local, dropout_rate, train)
+
+        g = global_avg_pool(x)
+        g = Conv(self.channels // 4, 1, dtype=self.dtype, name="global0")(g)
+        g = nn.relu(g)
+        g = ChannelDropout()(g, dropout_rate, train)
+        g = Conv(self.channels, 1, dtype=self.dtype, name="global1")(g)
+        g = nn.sigmoid(g)
+        global_feat = g * x
+
+        return Conv(self.channels, 1, dtype=self.dtype, name="fusion")(
+            jnp.concatenate([local, global_feat], axis=-1)
+        )
+
+
+class ResidualDenseBlock(nn.Module):
+    """Dense connections + SE (model.py:103-134)."""
+
+    channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, dropout_rate: float, train: bool):
+        c = self.channels
+        drop = ChannelDropout()
+
+        def block(inp, features, name):
+            h = Conv(features, 3, dtype=self.dtype, name=name)(inp)
+            h = instance_norm(h)
+            h = nn.relu(h)
+            return drop(h, dropout_rate, train)
+
+        x1 = block(x, c // 2, "conv1")
+        x2 = block(jnp.concatenate([x, x1], axis=-1), c // 2, "conv2")
+        x3 = block(jnp.concatenate([x, x1, x2], axis=-1), c, "conv3")
+        return SEBlock(c, dtype=self.dtype, name="se")(x3, dropout_rate, train)
+
+
+class EncoderStage(nn.Module):
+    """RDB -> DualAttention -> stride-1 transition conv (model.py:136-152)."""
+
+    in_channels: int
+    out_channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, dropout_rate: float, train: bool):
+        x = ResidualDenseBlock(self.in_channels, dtype=self.dtype,
+                               name="dense_block")(x, dropout_rate, train)
+        x = DualAttention(self.in_channels, dtype=self.dtype,
+                          name="dual_attn")(x, dropout_rate, train)
+        x = Conv(self.out_channels, 3, dtype=self.dtype, name="transition")(x)
+        x = instance_norm(x)
+        x = nn.relu(x)
+        return ChannelDropout()(x, dropout_rate * 0.5, train)
+
+
+class FPN(nn.Module):
+    """Learned-softmax-weighted fusion of the three encoder outputs.
+
+    Reference model.py:154-205.  All three feature maps share the spatial
+    shape (the network never downsamples), so the reference's trilinear
+    interpolation is the identity and is omitted.
+    """
+
+    base: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], dropout_rate: float, train: bool):
+        c3, c4, c5 = features
+        assert c3.shape[1:4] == c4.shape[1:4] == c5.shape[1:4], (
+            "FPN expects equal spatial shapes (stride-1 network)"
+        )
+        w = self.param("weights", nn.initializers.constant(1.0 / 3.0), (3,), jnp.float32)
+        w = jax.nn.softmax(w).astype(c3.dtype)
+
+        p3 = Conv(self.base, 1, dtype=self.dtype, name="lateral0")(c3)
+        p4 = Conv(self.base, 1, dtype=self.dtype, name="lateral1")(c4)
+        p5 = Conv(self.base, 1, dtype=self.dtype, name="lateral2")(c5)
+
+        drop = ChannelDropout()
+        smoothed = []
+        for i, p in enumerate((p3, p4, p5)):
+            s = Conv(self.base, 3, dtype=self.dtype, name=f"smooth{i}")(p)
+            s = drop(s, dropout_rate * 0.5, train)
+            smoothed.append(s)
+
+        return jnp.concatenate(
+            [w[0] * smoothed[0], w[1] * smoothed[1], w[2] * smoothed[2]], axis=-1
+        )
+
+
+class TaskHead(nn.Module):
+    """Task-specific decoder head with calibration SE (model.py:207-239)."""
+
+    num_classes: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, dropout_rate: float, train: bool):
+        x = Conv(64, 3, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(instance_norm(x))
+        x = Conv(32, 3, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(instance_norm(x))
+
+        x = ChannelDropout()(x, dropout_rate, train)
+
+        cal = global_avg_pool(x)
+        cal = Conv(8, 1, dtype=self.dtype, name="cal0")(cal)
+        cal = nn.relu(cal)
+        cal = ChannelDropout()(cal, dropout_rate, train)
+        cal = Conv(32, 1, dtype=self.dtype, name="cal1")(cal)
+        cal = nn.sigmoid(cal)
+        x = x * cal
+
+        # logits in float32 for a numerically stable softmax downstream
+        return Conv(self.num_classes, 1, dtype=jnp.float32, name="final")(
+            x.astype(jnp.float32)
+        )
+
+
+class MICA(nn.Module):
+    """Full multi-task network.
+
+    Call: ``(exp_map, af_features) -> (backbone, ca, aa)`` logits, each
+    (N, D, H, W, n_cls) with n_cls 4/4/21.  ``exp_map`` is (N, D, H, W, 1);
+    ``af_features`` is (N, D, H, W, 24) or None.
+    """
+
+    base: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, exp_map, af_features=None, *, dropout_rate: float = 0.0,
+                 train: bool = False):
+        dt = self.dtype or jnp.float32
+        exp_map = exp_map.astype(dt)
+        if af_features is not None:
+            af_features = af_features.astype(dt)
+
+        x = MultiScaleInput(self.base, dtype=self.dtype, name="input_processing")(
+            exp_map, af_features, dropout_rate, train
+        )
+
+        features = []
+        ch = self.base
+        for i in range(3):
+            x = EncoderStage(ch, ch * 2, dtype=self.dtype, name=f"encoder{i}")(
+                x, dropout_rate, train
+            )
+            ch *= 2
+            features.append(x)
+
+        fpn = FPN(self.base, dtype=self.dtype, name="fpn")(features, dropout_rate, train)
+
+        head_rate = dropout_rate * 2
+        backbone = TaskHead(4, dtype=self.dtype, name="backbone_head")(
+            fpn, head_rate, train
+        )
+        ca = TaskHead(4, dtype=self.dtype, name="ca_head")(
+            jnp.concatenate([fpn, backbone.astype(fpn.dtype)], axis=-1), head_rate, train
+        )
+        aa = TaskHead(21, dtype=self.dtype, name="aa_head")(
+            jnp.concatenate([fpn, backbone.astype(fpn.dtype), ca.astype(fpn.dtype)], axis=-1),
+            head_rate, train,
+        )
+        return backbone, ca, aa
+
+
+def dropout_rate_for_epoch(epoch: int, schedule=(0.01, 0.05, 0.1)) -> float:
+    """Reference's epoch-gated dropout schedule (model.py:295-302, 362-368)."""
+    if epoch < 35:
+        return schedule[0]
+    if epoch < 50:
+        return schedule[1]
+    return schedule[2]

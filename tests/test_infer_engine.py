@@ -1,0 +1,96 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mica_tpu.infer.engine import SlidingWindowPredictor, postprocess_logits
+from mica_tpu.models.mica import MICA
+from mica_tpu.ops import window
+from mica_tpu.parallel.mesh import make_mesh
+
+BASE = 16
+CORE, HALO = 12, 2
+
+
+@pytest.fixture(scope="module")
+def params():
+    model = MICA(base=BASE)
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    af = jnp.zeros((1, 8, 8, 8, 24))
+    return model.init(k, x, af)["params"]
+
+
+def _reference_prediction(params, vol, af):
+    """Oracle: extract windows, direct forward, stitch."""
+    wins = np.asarray(window.extract_windows(jnp.asarray(vol), CORE, HALO))
+    af_wins = np.stack(
+        [np.asarray(window.extract_windows(jnp.asarray(af[c]), CORE, HALO)) for c in range(24)],
+        axis=1,
+    )  # (nw, 24, w,w,w)
+    model = MICA(base=BASE)
+    bb, ca, aa = model.apply(
+        {"params": params},
+        jnp.asarray(wins)[..., None],
+        jnp.moveaxis(jnp.asarray(af_wins), 1, -1),
+    )
+    bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
+    shape = vol.shape
+    bb_v = np.asarray(window.stitch_windows(bb_p[..., 0], shape, CORE, HALO))
+    ca_v = np.asarray(window.stitch_windows(ca_p[..., 0], shape, CORE, HALO))
+    aa_v = np.asarray(
+        window.stitch_windows(jnp.moveaxis(aa_p, -1, 1), shape, CORE, HALO)
+    )
+    return bb_v, ca_v, aa_v
+
+
+def test_engine_matches_direct_forward(params, rng):
+    shape = (30, 24, 13)
+    vol = rng.random(shape).astype(np.float32)
+    af = (rng.random((24,) + shape) < 0.02).astype(np.float32)
+
+    pred = SlidingWindowPredictor(
+        params, batch_size=4, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO,
+    )
+    out = pred.predict_volume(vol, af)
+
+    bb_v, ca_v, aa_v = _reference_prediction(params, vol, af)
+    np.testing.assert_allclose(out["backbone_probability"], bb_v, atol=1e-5)
+    np.testing.assert_allclose(out["carbon_alpha_probability"], ca_v, atol=1e-5)
+    np.testing.assert_allclose(out["amino_acid_probability"], aa_v, atol=1e-5)
+    np.testing.assert_array_equal(
+        out["amino_acid_prediction"], np.argmax(aa_v, axis=0)
+    )
+
+
+def test_engine_no_af(params, rng):
+    shape = (13, 13, 13)
+    vol = rng.random(shape).astype(np.float32)
+    pred = SlidingWindowPredictor(
+        params, batch_size=2, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO,
+    )
+    out = pred.predict_volume(vol, None)
+    assert out["backbone_probability"].shape == shape
+    assert out["amino_acid_probability"].shape == (20,) + shape
+    assert np.isfinite(out["backbone_probability"]).all()
+
+
+def test_engine_sharded_matches_single(params, rng):
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    shape = (26, 26, 13)
+    vol = rng.random(shape).astype(np.float32)
+    af = (rng.random((24,) + shape) < 0.02).astype(np.float32)
+
+    single = SlidingWindowPredictor(
+        params, batch_size=8, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO,
+    ).predict_volume(vol, af)
+    sharded = SlidingWindowPredictor(
+        params, batch_size=8, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO, mesh=make_mesh(),
+    ).predict_volume(vol, af)
+
+    for key in ("backbone_probability", "carbon_alpha_probability", "amino_acid_probability"):
+        np.testing.assert_allclose(sharded[key], single[key], atol=1e-5, err_msg=key)

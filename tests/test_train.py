@@ -1,0 +1,152 @@
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mica_tpu.train import augment, data, loss as loss_mod
+from mica_tpu.train.trainer import (
+    GRAD_HISTORY, PlateauScheduler, Trainer, adaptive_clip,
+)
+
+sys.path.insert(0, "/root/reference")
+
+
+def test_weighted_ce_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    logits = rng.normal(size=(2, 5, 5, 5, 4)).astype(np.float32)
+    targets = rng.integers(0, 4, (2, 5, 5, 5)).astype(np.int64)
+    w = loss_mod.BACKBONE_CLASS_WEIGHTS
+
+    ref = F.cross_entropy(
+        torch.from_numpy(np.transpose(logits, (0, 4, 1, 2, 3))),
+        torch.from_numpy(targets),
+        weight=torch.tensor(w),
+        reduction="mean",
+    ).item()
+    mine = float(loss_mod.weighted_cross_entropy(jnp.asarray(logits),
+                                                 jnp.asarray(targets), w))
+    np.testing.assert_allclose(mine, ref, rtol=1e-5)
+
+
+def test_task_lambdas_schedule():
+    # epoch 0: start weights; epoch >= 25: target weights (both normalized)
+    np.testing.assert_allclose(loss_mod.task_lambdas(0), (0.6, 0.25, 0.15), atol=1e-6)
+    np.testing.assert_allclose(loss_mod.task_lambdas(25), (0.25, 0.4, 0.35), atol=1e-6)
+    np.testing.assert_allclose(loss_mod.task_lambdas(60), (0.25, 0.4, 0.35), atol=1e-6)
+    mid = loss_mod.task_lambdas(12)
+    assert 0.25 < mid[0] < 0.6 and abs(sum(mid) - 1.0) < 1e-6
+
+
+def test_multi_task_loss_lambda_parity():
+    """Cosine schedule matches the reference formula (loss.py:42-81)."""
+    import math
+
+    for epoch in (0, 5, 13, 24, 25, 40):
+        if epoch <= 0:
+            p = 0.0
+        elif epoch >= 25:
+            p = 1.0
+        else:
+            p = 0.5 * (1 - math.cos(math.pi * epoch / 25))
+        lams = [s + (t - s) * p for s, t in ((0.6, 0.25), (0.25, 0.4), (0.15, 0.35))]
+        tot = sum(lams)
+        np.testing.assert_allclose(
+            loss_mod.task_lambdas(epoch), [l / tot for l in lams], atol=1e-9
+        )
+
+
+def test_adaptive_clip():
+    grads = {"w": jnp.full((4,), 10.0)}  # norm 20
+    norms = jnp.array([1.0, 1.0, 1.0, 1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
+    count = jnp.asarray(4, jnp.int32)
+    clipped_grads, new_norms, new_count, norm, clipped = adaptive_clip(
+        grads, norms, count
+    )
+    # history now [1,1,1,1,20]: avg 4.8, norm 20 > 9.6 -> clip to 7.2
+    assert bool(clipped)
+    np.testing.assert_allclose(float(norm), 20.0)
+    np.testing.assert_allclose(
+        float(optax_global_norm(clipped_grads)), 4.8 * 1.5, rtol=1e-5
+    )
+    assert int(new_count) == 5
+
+    # low norm: no clipping
+    grads2 = {"w": jnp.full((4,), 1.0)}
+    out2, *_, clipped2 = adaptive_clip(grads2, new_norms, new_count)
+    assert not bool(clipped2)
+    np.testing.assert_allclose(np.asarray(out2["w"]), 1.0)
+
+
+def optax_global_norm(g):
+    import optax
+
+    return optax.global_norm(g)
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(lr=1e-4, patience=2)
+    lrs = []
+    for m in [1.0, 0.9, 0.9, 0.9, 0.9, 0.9]:
+        lrs.append(s.step(m))
+    # best=0.9 at step 2; bad epochs 3,4,5 -> reduce at 3rd bad
+    assert lrs[-1] == pytest.approx(5e-5)
+
+
+def test_augment_joint_spatial_consistency(rng):
+    d = 8
+    density = np.zeros((1, d, d, d), np.float32)
+    tgt = rng.integers(0, 4, (3, d, d, d)).astype(np.int32)
+    af3 = np.repeat(tgt[:1].astype(np.float32), 24, axis=0)
+
+    found_changed = False
+    for seed in range(12):
+        key = jax.random.PRNGKey(seed)
+        _, af_out, tgt_out = augment.augment_sample(
+            key, jnp.asarray(density), jnp.asarray(af3), jnp.asarray(tgt)
+        )
+        af_out, tgt_out = np.asarray(af_out), np.asarray(tgt_out)
+        # af3 channel 0 must track target 0 through any spatial transform
+        np.testing.assert_array_equal(af_out[0].astype(np.int32), tgt_out[0])
+        assert set(np.unique(tgt_out)).issubset(set(np.unique(tgt)) | {0})
+        if not np.array_equal(tgt_out, tgt):
+            found_changed = True
+    assert found_changed, "no augmentation fired in 12 seeds"
+
+
+def test_train_step_runs_and_learns():
+    assert len(jax.devices()) == 8
+    trainer = Trainer(base_filters=16, lr=3e-4, use_mesh=True,
+                      use_augmentation=False, exp_only_prob=0.0)
+    size = 16
+    state = trainer.init_state((1, size, size, size, 1))
+    batch = data.synthetic_batch(batch_size=8, size=size)
+
+    step = trainer.train_step_for_epoch(0)
+    lambdas = jnp.asarray(loss_mod.task_lambdas(0), jnp.float32)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, tuple(jnp.asarray(b) for b in batch),
+                              lambdas, jax.random.PRNGKey(i))
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+def test_validation_runs():
+    trainer = Trainer(base_filters=16, use_mesh=True, use_augmentation=False)
+    size = 16
+    state = trainer.init_state((1, size, size, size, 1))
+    batch = data.synthetic_batch(batch_size=8, size=size)
+    metrics = trainer.run_validation(state, [batch], epoch=0)
+    assert np.isfinite(metrics["total_loss"])
+
+
+def test_train_val_split_deterministic():
+    tr1, va1 = data.train_val_split(100)
+    tr2, va2 = data.train_val_split(100)
+    np.testing.assert_array_equal(tr1, tr2)
+    assert len(va1) == 20 and len(set(tr1) & set(va1)) == 0

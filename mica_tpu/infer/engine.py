@@ -144,6 +144,7 @@ class SlidingWindowPredictor:
         self,
         volume: np.ndarray,
         af_encoding: Optional[np.ndarray] = None,
+        keep_on_device: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Predict BB/CA/AA volumes for a normalized ``volume[x,y,z]``.
 
@@ -199,6 +200,16 @@ class SlidingWindowPredictor:
         t2 = time.time()
         bb_v, ca_v, aa_v = vols
         sl = tuple(slice(0, s) for s in shape)
+        if keep_on_device:
+            # leave cropping + argmax on device; no host transfer (the
+            # device->host link can be the bottleneck on tunneled setups)
+            self.timing["reconstruction"] = time.time() - t2
+            return {
+                "backbone_probability": bb_v[sl],
+                "carbon_alpha_probability": ca_v[sl],
+                "amino_acid_probability": jnp.moveaxis(aa_v[sl + (slice(None),)], -1, 0),
+                "amino_acid_prediction": jnp.argmax(aa_v[sl + (slice(None),)], axis=-1),
+            }
         bb = np.asarray(bb_v[sl])
         ca = np.asarray(ca_v[sl])
         aa = np.moveaxis(np.asarray(aa_v[sl + (slice(None),)]), -1, 0)

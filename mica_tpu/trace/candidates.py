@@ -1,0 +1,226 @@
+"""CA candidate extraction: clustering, NMS, refinement, neighbor graph.
+
+Re-implementation of the reference clustering stage (modeler.py:762-899),
+vectorized end to end:
+
+  1. threshold the CA probability volume (CA_score_thrh, default 0.3);
+  2. cluster the voxel cloud (DBSCAN eps=10, min_points=10 in the
+     reference via open3d).  For the dense voxel clouds this operates on,
+     every point is a DBSCAN core point, so clustering reduces to
+     single-linkage components at distance eps — computed here via a
+     ball-dilation + connected-component labeling (O(volume)) instead of a
+     pairwise neighbor graph; an exact sklearn DBSCAN is used for small
+     clouds;
+  3. score clusters by backbone probability (sum filter at max/10, mean
+     filter at max/2) and keep the survivors;
+  4. greedy non-maximum suppression by descending CA probability with
+     squared-radius 9 (kd-tree accelerated);
+  5. sub-voxel refinement: 3-cube CA-probability-weighted centroid, with
+     the same weights aggregating per-candidate amino-acid probabilities;
+  6. neighbor lists at 2-6 / 0-6 / 2-7 / 0-7 A and the pair scoring matrix
+     neigh_mat = (distance score around the ideal 3.8 A CA-CA spacing +
+     mean backbone probability at 4 points interpolated along the segment)/2
+     — fully vectorized over the sparse neighbor pairs;
+  7. best_neigh: top-2 scored neighbors per candidate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional
+
+import numpy as np
+from scipy import ndimage
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Candidates:
+    """CA candidates plus their neighbor structure."""
+
+    coords: np.ndarray  # (N, 3) float64 sub-voxel positions (voxel units)
+    aa_prob: np.ndarray  # (20, N) aggregated amino-acid probabilities
+    aa_pred: np.ndarray  # (N,) argmax type 0..19 at the rounded position
+    dist: np.ndarray  # (N, N) pairwise distances
+    neigh_mat: np.ndarray  # (N, N) pair scores
+    neighbors2to6: List[np.ndarray]
+    neighbors0to6: List[np.ndarray]
+    neighbors2to7: List[np.ndarray]
+    neighbors0to7: List[np.ndarray]
+    best_neigh: List[List[int]]
+
+    def __len__(self) -> int:
+        return len(self.coords)
+
+
+def cluster_points(points: np.ndarray, shape, eps: float = 10.0,
+                   min_points: int = 10, method: str = "auto") -> np.ndarray:
+    """Cluster integer voxel points; returns labels (−1 = noise)."""
+    n = len(points)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if method == "auto":
+        method = "dbscan" if n <= 30000 else "morphology"
+    if method == "dbscan":
+        from sklearn.cluster import DBSCAN
+
+        return DBSCAN(eps=eps, min_samples=min_points).fit(points).labels_
+
+    # ball-dilation single-linkage: centers within eps have overlapping
+    # radius-eps/2 balls -> same connected component
+    r = int(np.floor(eps / 2))
+    mask = np.zeros(shape, bool)
+    mask[points[:, 0], points[:, 1], points[:, 2]] = True
+    zz, yy, xx = np.ogrid[-r : r + 1, -r : r + 1, -r : r + 1]
+    ball = (zz * zz + yy * yy + xx * xx) <= r * r
+    dilated = ndimage.binary_dilation(mask, structure=ball)
+    labeled, _ = ndimage.label(dilated, structure=np.ones((3, 3, 3)))
+    return labeled[points[:, 0], points[:, 1], points[:, 2]].astype(np.int64) - 1
+
+
+def filter_clusters(points: np.ndarray, labels: np.ndarray,
+                    bb_prob: np.ndarray) -> np.ndarray:
+    """Keep points of clusters passing the backbone-probability filters."""
+    n_labels = labels.max() + 1
+    if n_labels <= 0:
+        return np.zeros(len(points), bool)
+    vals = bb_prob[points[:, 0], points[:, 1], points[:, 2]]
+    sums = np.zeros(n_labels)
+    counts = np.zeros(n_labels)
+    valid = labels >= 0
+    np.add.at(sums, labels[valid], vals[valid])
+    np.add.at(counts, labels[valid], 1)
+    means = np.where(
+        (sums > sums.max() / 10) & (counts > 0), sums / np.maximum(counts, 1), 0.0
+    )
+    keep_label = means > means.max() / 2
+    keep = np.zeros(len(points), bool)
+    keep[valid] = keep_label[labels[valid]]
+    return keep
+
+
+def nms(points: np.ndarray, scores: np.ndarray, radius_sq: float = 9.0,
+        score_threshold: float = 0.3) -> np.ndarray:
+    """Greedy NMS by descending score; suppress within sqrt(radius_sq)."""
+    from scipy.spatial import cKDTree
+
+    order = np.argsort(-scores, kind="stable")
+    order = order[scores[order] >= score_threshold]
+    pts = points[order].astype(np.float64)
+    tree = cKDTree(pts)
+    suppressed = np.zeros(len(order), bool)
+    keep = []
+    r = np.sqrt(radius_sq)
+    for i in range(len(order)):
+        if suppressed[i]:
+            continue
+        keep.append(order[i])
+        for j in tree.query_ball_point(pts[i], r):
+            suppressed[j] = True
+    return np.asarray(keep, np.int64)
+
+
+def refine_candidates(cands: np.ndarray, ca_prob: np.ndarray, aa_prob: np.ndarray):
+    """Sub-voxel refinement by 3-cube CA-probability-weighted centroid.
+
+    Boundary candidates (any index at the volume edge) are dropped, like the
+    reference's try/except (modeler.py:854-855).
+    """
+    shape = np.asarray(ca_prob.shape)
+    inner = np.all((cands >= 1) & (cands <= shape - 2), axis=1)
+    cands = cands[inner]
+    n = len(cands)
+    if n == 0:
+        return np.zeros((0, 3)), np.zeros((aa_prob.shape[0], 0))
+
+    offsets = np.array(
+        [[di, dj, dk] for di in (-1, 0, 1) for dj in (-1, 0, 1) for dk in (-1, 0, 1)]
+    )  # (27, 3)
+    neigh = cands[:, None, :] + offsets[None, :, :]  # (N, 27, 3)
+    w = ca_prob[neigh[..., 0], neigh[..., 1], neigh[..., 2]]  # (N, 27)
+    w = w / w.sum(axis=1, keepdims=True)
+    coords = np.einsum("nk,nkd->nd", w, neigh.astype(np.float64))
+    aa = np.einsum("nk,cnk->cn", w, aa_prob[:, neigh[..., 0], neigh[..., 1], neigh[..., 2]])
+    return coords, aa
+
+
+def pair_scores(coords: np.ndarray, dist: np.ndarray, bb_prob: np.ndarray,
+                lo: float = 2.0, hi: float = 6.0) -> np.ndarray:
+    """Vectorized neigh_mat (modeler.py:877-886)."""
+    n = len(coords)
+    mat = np.zeros((n, n))
+    ii, jj = np.where((dist >= lo) & (dist <= hi))
+    if len(ii) == 0:
+        return mat
+    d = dist[ii, jj]
+    dis = np.maximum(0.0, np.abs(d - 3.8) - 0.5)
+    dis_score = np.maximum(0.0, 1.0 - dis / 2.0)
+
+    shape = np.asarray(bb_prob.shape)
+    bb = np.zeros(len(ii))
+    for j in range(1, 5):
+        pts = np.rint(j / 5 * coords[jj] + (5 - j) / 5 * coords[ii]).astype(np.int64)
+        pts = np.clip(pts, 0, shape - 1)
+        bb += bb_prob[pts[:, 0], pts[:, 1], pts[:, 2]]
+    mat[ii, jj] = (dis_score + bb / 4.0) / 2.0
+    return mat
+
+
+def extract_candidates(
+    ca_prob: np.ndarray,
+    bb_prob: np.ndarray,
+    aa_prob: np.ndarray,
+    aa_pred: np.ndarray,
+    ca_score_threshold: float = 0.3,
+    cluster_eps: float = 10.0,
+    cluster_min_points: int = 10,
+    nms_radius_sq: float = 9.0,
+    cluster_method: str = "auto",
+) -> Candidates:
+    """Full candidate-extraction pipeline from the prediction volumes."""
+    points = np.argwhere(ca_prob > ca_score_threshold)
+    logger.info("candidate extraction: %d voxels above %.2f", len(points),
+                ca_score_threshold)
+    labels = cluster_points(points, ca_prob.shape, cluster_eps,
+                            cluster_min_points, cluster_method)
+    keep = filter_clusters(points, labels, bb_prob)
+    kept = points[keep]
+    logger.info("clusters kept %d/%d voxels", len(kept), len(points))
+
+    scores = ca_prob[kept[:, 0], kept[:, 1], kept[:, 2]]
+    keep_ix = nms(kept, scores, nms_radius_sq, ca_score_threshold)
+    cand_voxels = kept[keep_ix]
+    logger.info("NMS candidates: %d", len(cand_voxels))
+
+    coords, aa = refine_candidates(cand_voxels, ca_prob, aa_prob)
+    rounded = np.clip(
+        np.rint(coords).astype(np.int64), 0, np.asarray(ca_prob.shape) - 1
+    )
+    pred = aa_pred[rounded[:, 0], rounded[:, 1], rounded[:, 2]]
+
+    diff = coords[:, None, :] - coords[None, :, :]
+    dist = np.sqrt(np.sum(diff * diff, axis=-1))
+
+    n26, n06, n27, n07, best = [], [], [], [], []
+    mat = pair_scores(coords, dist, bb_prob)
+    for i in range(len(coords)):
+        di = dist[i]
+        n26.append(np.where((di >= 2) & (di <= 6))[0])
+        n06.append(np.where(di <= 6)[0])
+        n27.append(np.where((di >= 2) & (di <= 7))[0])
+        n07.append(np.where(di <= 7)[0])
+        second, first = np.argsort(mat[i], kind="stable")[-2:]
+        lst = []
+        if mat[i, first] != 0:
+            lst.append(int(first))
+        if mat[i, second] != 0:
+            lst.append(int(second))
+        best.append(lst)
+
+    return Candidates(
+        coords=coords, aa_prob=aa, aa_pred=pred, dist=dist, neigh_mat=mat,
+        neighbors2to6=n26, neighbors0to6=n06, neighbors2to7=n27,
+        neighbors0to7=n07, best_neigh=best,
+    )

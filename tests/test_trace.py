@@ -1,0 +1,144 @@
+import numpy as np
+import pytest
+
+from mica_tpu.ops import kabsch
+from mica_tpu.trace import nhop
+from mica_tpu.trace.af3_align import AF3Aligner
+from mica_tpu.trace.align import TemplateFreeAligner
+from mica_tpu.trace.assemble import Assembler
+from mica_tpu.trace.candidates import extract_candidates
+from mica_tpu.trace.fragments import build_fragments
+from mica_tpu.trace.types import ChainModel, SequenceEntry
+
+from synthetic import make_scenario, random_rigid
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    return make_scenario(n_res=60, shape=(64, 64, 64), seed=3)
+
+
+@pytest.fixture(scope="module")
+def cands(scenario):
+    ca, seq, vols = scenario
+    return extract_candidates(
+        vols["carbon_alpha_probability"],
+        vols["backbone_probability"],
+        vols["amino_acid_probability"],
+        vols["amino_acid_prediction"],
+    )
+
+
+def test_kabsch_identity(rng):
+    pts = rng.normal(size=(10, 3))
+    rmsd, r, t = kabsch.superpose(pts, pts)
+    assert rmsd < 1e-9
+    np.testing.assert_allclose(r, np.eye(3), atol=1e-9)
+
+
+def test_kabsch_recovers_rigid(rng):
+    pts = rng.normal(size=(12, 3)) * 5
+    q, tr = random_rigid(1)
+    moved = pts @ q.T + tr
+    rmsd, r, t = kabsch.superpose(moved, pts)
+    assert rmsd < 1e-8
+    np.testing.assert_allclose(pts @ r.T + t, moved, atol=1e-8)
+
+
+def test_kabsch_batch_matches_single(rng):
+    tgt = rng.normal(size=(7, 5, 3))
+    mob = rng.normal(size=(7, 5, 3))
+    rb, Rb, Tb = kabsch.superpose_batch(tgt, mob)
+    for i in range(7):
+        r, R, T = kabsch.superpose(tgt[i], mob[i])
+        np.testing.assert_allclose(rb[i], r, atol=1e-10)
+        np.testing.assert_allclose(Rb[i], R, atol=1e-10)
+        np.testing.assert_allclose(Tb[i], T, atol=1e-10)
+
+
+def test_candidates_near_truth(scenario, cands):
+    ca, seq, vols = scenario
+    assert 0.8 * len(ca) <= len(cands) <= 1.5 * len(ca)
+    # every true CA has a candidate within 2 voxels
+    d = np.linalg.norm(ca[:, None, :] - cands.coords[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 2.0).mean() > 0.9
+    # neighbor graph: consecutive true CAs should be linked via best_neigh
+    # for most candidates
+    assert np.mean([len(b) > 0 for b in cands.best_neigh]) > 0.9
+
+
+def test_nhop_matrix_properties(cands):
+    mat = nhop.n_hop_matrix(cands.best_neigh, cands.neigh_mat, n_hop=3)
+    assert mat.shape == (3, len(cands), len(cands))
+    sums = mat.sum(axis=2)
+    nonzero = sums[sums > 0]
+    np.testing.assert_allclose(nonzero, 1.0, atol=1e-9)
+
+
+def test_fragments_cover_chain(scenario, cands):
+    ca, _, _ = scenario
+    frags = build_fragments(cands)
+    assert frags, "no fragments"
+    covered = sum(len(f) for f in frags)
+    assert covered > 0.7 * len(ca)
+
+
+def _entries_for(seq, af3_coords=None, chain_ids=("A",)):
+    e = SequenceEntry(name="synth", sequence=seq, af3_coords=af3_coords)
+    for cid in chain_ids:
+        e.chains[cid] = ChainModel(chain_id=cid, length=len(seq))
+    return [e]
+
+
+def _assignment_accuracy(entry, cands, true_ca):
+    """fraction of sequence positions assigned to a candidate within 2.5
+    voxels of the true CA of that position (direct or reversed trace)."""
+    result = entry.chains[list(entry.chains)[0]].result
+    n, good_f, good_r = 0, 0, 0
+    L = len(result)
+    for p, cand in enumerate(result):
+        if cand == -1:
+            continue
+        n += 1
+        if np.linalg.norm(cands.coords[cand] - true_ca[p]) < 2.5:
+            good_f += 1
+        if np.linalg.norm(cands.coords[cand] - true_ca[L - 1 - p]) < 2.5:
+            good_r += 1
+    return (max(good_f, good_r) / max(n, 1)), (n / L)
+
+
+def test_af3_pipeline_recovers_chain(scenario, cands):
+    ca, seq, vols = scenario
+    q, t = random_rigid(7)
+    af3 = ca @ q.T + t  # template in an arbitrary rigid frame
+    entries = _entries_for(seq, af3_coords=af3)
+
+    aligner = AF3Aligner(entries, cands, vols["carbon_alpha_probability"])
+    aligner.run()
+    assert any(entries[0].aligned_frags), "no aligned fragments"
+
+    asm = Assembler(entries, cands, aligner.seq_cand_aa_mat, aligner.n_hop_mat,
+                    protocol="AF3_struct")
+    asm.build_initial_model()
+    asm.fill_gaps()
+
+    acc, cov = _assignment_accuracy(entries[0], cands, ca)
+    assert cov > 0.6, f"coverage too low: {cov}"
+    assert acc > 0.75, f"accuracy too low: {acc}"
+
+
+def test_template_free_pipeline(scenario, cands):
+    ca, seq, vols = scenario
+    entries = _entries_for(seq)
+    aligner = TemplateFreeAligner(entries, cands)
+    ok = aligner.run()
+    assert ok
+    assert any(entries[0].aligned_frags)
+
+    asm = Assembler(entries, cands, aligner.seq_cand_aa_mat, aligner.n_hop_mat,
+                    protocol="AF3_struct_free")
+    asm.build_initial_model()
+    asm.fill_gaps()
+    acc, cov = _assignment_accuracy(entries[0], cands, ca)
+    assert cov > 0.5, f"coverage too low: {cov}"
+    assert acc > 0.6, f"accuracy too low: {acc}"

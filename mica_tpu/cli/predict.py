@@ -1,0 +1,73 @@
+"""Standalone prediction CLI: map -> BB/CA/AA probability volumes (MRC).
+
+Counterpart of running utils/predict.py directly in the reference: reads a
+density map (and optional docked AF3 model), runs the sliding-window
+predictor and writes the four prediction volumes as MRC files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s - %(levelname)s - %(message)s")
+    p = argparse.ArgumentParser(description="MICA-TPU sliding-window prediction")
+    p.add_argument("-m", "--map_path", required=True)
+    p.add_argument("-o", "--output_path", required=True)
+    p.add_argument("--docked_model", default="")
+    p.add_argument("--model_checkpoint", default="")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--float32", action="store_true",
+                   help="run the network in float32 instead of bfloat16")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..infer.pipeline import predict_map
+    from ..io import mrc as mrc_io
+    from .run import load_network_params
+
+    params = load_network_params(args.model_checkpoint)
+    if params is None:
+        from ..models.init import init_params_fast
+        from ..models.mica import MICA
+
+        logging.warning("no checkpoint given; using random weights")
+        model = MICA(base=64)
+        params = init_params_fast(
+            model,
+            (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))),
+        )
+
+    out = predict_map(
+        args.map_path, params,
+        docked_pdb_path=args.docked_model or None,
+        batch_size=args.batch_size,
+        dtype=jnp.float32 if args.float32 else jnp.bfloat16,
+    )
+    prepared = out["prepared_map"]
+    outdir = Path(args.output_path)
+    outdir.mkdir(parents=True, exist_ok=True)
+    for key in ("backbone_probability", "carbon_alpha_probability",
+                "amino_acid_prediction"):
+        vol = np.asarray(out[key], np.float32)
+        mrc_io.write_mrc(
+            outdir / f"{key}.mrc", np.transpose(vol, (2, 1, 0)),
+            voxel_size=prepared.voxel_size, origin=tuple(prepared.origin),
+            nstart=tuple(int(v) for v in prepared.offset),
+        )
+    np.savez_compressed(
+        outdir / "amino_acid_probability.npz",
+        data=out["amino_acid_probability"].astype(np.float16),
+    )
+    logging.info("timing: %s", out["timing"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -2,8 +2,8 @@
 
 Re-design of the reference predictor (utils/predict.py:307-512).  The
 reference writes one ``.npz`` per window to disk and re-reads them all to
-paste central cores into numpy volumes; here the whole map stays resident in
-HBM and each jit step
+paste central cores into numpy volumes; here the whole map stays resident
+in HBM and each batch step
 
   1. slices a batch of 64-cube windows (density + 24-channel AF3 encoding)
      out of the padded volumes with ``dynamic_slice`` (no host traffic),
@@ -15,16 +15,21 @@ HBM and each jit step
      output volumes with ``dynamic_update_slice`` (cores tile the volume,
      so writes never overlap).
 
+The pipeline is split into three jit programs: a cheap window gather and a
+cheap core scatter (re-specialized per map shape) around the expensive
+model step whose shapes depend only on (batch, window) — so the heavy XLA
+compile happens once ever per configuration and is served from the
+persistent compilation cache across maps and processes.
+
 Multi-chip: the window batch is sharded over the mesh's ``data`` axis; the
-core scatter produces replicated outputs, so XLA inserts the ICI all-gather
-that replaces the reference's serial paste-back loop.
+core scatter produces replicated outputs, so XLA inserts the ICI
+all-gather that replaces the reference's serial paste-back loop.
 """
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +37,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.mica import MICA
-from ..ops.window import CORE, HALO, WINDOW, window_counts, window_starts
+from ..ops.window import CORE, HALO, window_counts, window_starts
 from ..parallel.mesh import DATA_AXIS, make_mesh
 
 NUM_AA = 20
@@ -79,65 +84,102 @@ class SlidingWindowPredictor:
             if self.batch_size % n_dev:
                 self.batch_size = -(-self.batch_size // n_dev) * n_dev
         self.timing: Dict[str, float] = {}
-        self._step = None  # lazily built, cached jit step
+        self._model_step = None
+        self._shardings = None
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            bshard = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._shardings = (repl, bshard)
 
     # ------------------------------------------------------------------
-    def _step_fn(self):
-        if self._step is not None:
-            return self._step
-        model = self.model
+    # jit pieces
+    # ------------------------------------------------------------------
+    def _build_model_step(self, with_af: bool):
+        """Heavy step: (B,w,w,w[,24]) windows -> core probability blocks.
 
-        core_n, halo = self.core, self.halo
+        Shapes depend only on (batch, window) — compiled once, served from
+        the persistent cache for every map afterwards.
+        """
+        if self._model_step is not None:
+            return self._model_step
+        model, core_n, halo = self.model, self.core, self.halo
 
-        def step(params, padded_map, padded_af, starts, vols):
-            """One batch: slice windows -> forward -> postprocess -> scatter."""
-            w = core_n + 2 * halo
-
-            def slice_map(start):
-                return jax.lax.dynamic_slice(padded_map, (start[0], start[1], start[2]), (w, w, w))
-
-            windows = jax.vmap(slice_map)(starts)[..., None]  # (B, w,w,w, 1)
-
-            if padded_af is not None:
-                def slice_af(start):
-                    return jax.lax.dynamic_slice(
-                        padded_af, (0, start[0], start[1], start[2]),
-                        (padded_af.shape[0], w, w, w),
-                    )
-                af = jax.vmap(slice_af)(starts)  # (B, 24, w,w,w)
-                af = jnp.moveaxis(af, 1, -1).astype(windows.dtype)
-            else:
-                af = None
-
+        def step(params, windows, af):
             bb, ca, aa = model.apply({"params": params}, windows, af)
             bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
+            sl = slice(halo, halo + core_n)
+            return (
+                bb_p[:, sl, sl, sl, 0],
+                ca_p[:, sl, sl, sl, 0],
+                aa_p[:, sl, sl, sl, :],
+            )
 
-            h = halo
-            core = lambda t: t[:, h : h + core_n, h : h + core_n, h : h + core_n, :]
-            bb_c, ca_c, aa_c = core(bb_p), core(ca_p), core(aa_p)
+        if self._shardings is not None:
+            repl, bshard = self._shardings
+            self._model_step = jax.jit(
+                step,
+                in_shardings=(repl, bshard, bshard if with_af else None),
+                out_shardings=(bshard, bshard, bshard),
+            )
+        else:
+            self._model_step = jax.jit(step)
+        return self._model_step
 
+    def _build_gather(self, with_af: bool):
+        """Cheap per-map-shape window gather."""
+        w = self.window
+
+        def gather(padded_map, padded_af, starts):
+            def one(start):
+                win = jax.lax.dynamic_slice(
+                    padded_map, (start[0], start[1], start[2]), (w, w, w)
+                )
+                if padded_af is None:
+                    return win, None
+                af = jax.lax.dynamic_slice(
+                    padded_af, (0, start[0], start[1], start[2]),
+                    (padded_af.shape[0], w, w, w),
+                )
+                return win, af
+
+            wins, afs = jax.vmap(one)(starts)
+            wins = wins[..., None]
+            if afs is not None:
+                afs = jnp.moveaxis(afs, 1, -1).astype(wins.dtype)
+            return wins, afs
+
+        if self._shardings is not None:
+            repl, bshard = self._shardings
+            return jax.jit(
+                gather,
+                in_shardings=(repl, repl if with_af else None, bshard),
+                out_shardings=(bshard, bshard if with_af else None),
+            )
+        return jax.jit(gather)
+
+    def _build_scatter(self):
+        """Cheap per-map-shape core scatter (replicated outputs)."""
+        core_n = self.core
+
+        def scatter(vols, cores, starts):
             bb_v, ca_v, aa_v = vols
-            b = starts.shape[0]
-            for i in range(b):
+            bb_c, ca_c, aa_c = cores
+            for i in range(starts.shape[0]):
                 s = starts[i]
-                bb_v = jax.lax.dynamic_update_slice(bb_v, bb_c[i, ..., 0], (s[0], s[1], s[2]))
-                ca_v = jax.lax.dynamic_update_slice(ca_v, ca_c[i, ..., 0], (s[0], s[1], s[2]))
+                bb_v = jax.lax.dynamic_update_slice(bb_v, bb_c[i], (s[0], s[1], s[2]))
+                ca_v = jax.lax.dynamic_update_slice(ca_v, ca_c[i], (s[0], s[1], s[2]))
                 aa_v = jax.lax.dynamic_update_slice(aa_v, aa_c[i], (s[0], s[1], s[2], 0))
             return bb_v, ca_v, aa_v
 
-        if self.mesh is not None:
-            mesh = self.mesh
-            repl = NamedSharding(mesh, P())
-            batch_shard = NamedSharding(mesh, P(DATA_AXIS, None))
-            self._step = jax.jit(
-                step,
-                in_shardings=(repl, repl, repl, batch_shard, (repl, repl, repl)),
-                out_shardings=(repl, repl, repl),
-                donate_argnums=(4,),
+        if self._shardings is not None:
+            repl, bshard = self._shardings
+            return jax.jit(
+                scatter,
+                in_shardings=((repl,) * 3, (bshard,) * 3, bshard),
+                out_shardings=(repl,) * 3,
+                donate_argnums=(0,),
             )
-        else:
-            self._step = jax.jit(step, donate_argnums=(4,))
-        return self._step
+        return jax.jit(scatter, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def predict_volume(
@@ -168,11 +210,10 @@ class SlidingWindowPredictor:
         ]
         padded_map = jnp.asarray(np.pad(volume.astype(np.float32), pads))
         padded_af = None
-        if af_encoding is not None:
+        with_af = af_encoding is not None
+        if with_af:
             af_pads = [(0, 0)] + pads
-            padded_af = jnp.asarray(
-                np.pad(af_encoding.astype(np.int8), af_pads)
-            )
+            padded_af = jnp.asarray(np.pad(af_encoding.astype(np.int8), af_pads))
 
         starts = window_starts(shape, core_n).astype(np.int32)
         n_windows = starts.shape[0]
@@ -186,13 +227,20 @@ class SlidingWindowPredictor:
             jnp.zeros(padded_shape, jnp.float32),
             jnp.zeros(padded_shape + (NUM_AA,), jnp.float32),
         )
+        if self._shardings is not None:
+            vols = jax.device_put(vols, self._shardings[0])
 
-        step = self._step_fn()
+        gather = self._build_gather(with_af)
+        scatter = self._build_scatter()
+        model_step = self._build_model_step(with_af)
         self.timing["setup"] = time.time() - t0
+
         t1 = time.time()
         for ofs in range(0, starts.shape[0], bsz):
             batch = jnp.asarray(starts[ofs : ofs + bsz])
-            vols = step(self.params, padded_map, padded_af, batch, vols)
+            wins, afs = gather(padded_map, padded_af, batch)
+            cores = model_step(self.params, wins, afs)
+            vols = scatter(vols, cores, batch)
         jax.block_until_ready(vols)
         self.timing["inference"] = time.time() - t1
         self.timing["n_windows"] = n_windows

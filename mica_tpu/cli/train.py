@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_fraction", type=float, default=0.2)
     p.add_argument("--base_filters", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--log_dir", default="logs/training_logs")
+    p.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
     return p
 
 
@@ -75,8 +77,11 @@ def main(argv=None) -> int:
 
     from pathlib import Path
 
+    from ..utils.metrics import MetricsLogger
+
     out = Path(args.output_path)
     out.mkdir(parents=True, exist_ok=True)
+    metrics_log = MetricsLogger(args.log_dir, use_wandb=args.wandb)
 
     for epoch in range(start_epoch, args.num_epochs):
         train_loader = data_mod.batch_iterator(
@@ -91,6 +96,8 @@ def main(argv=None) -> int:
             val_metrics.get("total_loss", float("nan")),
             train_metrics["epoch_time"], train_metrics["steps"],
         )
+        metrics_log.log_epoch(epoch, train_metrics, val_metrics,
+                              lr=trainer.scheduler.lr)
         val_loss = val_metrics.get("total_loss", float("inf"))
         is_best = val_loss < best_val
         if is_best:
@@ -98,6 +105,7 @@ def main(argv=None) -> int:
         name = f"mica_epoch_{epoch}" + ("_best" if is_best else "")
         save_checkpoint(str(out / name), state, trainer.scheduler, epoch, val_loss)
         trainer.scheduler.step(val_loss)
+    metrics_log.close()
     return 0
 
 

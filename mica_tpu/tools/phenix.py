@@ -17,6 +17,9 @@ from typing import Optional
 logger = logging.getLogger(__name__)
 
 
+DEFAULT_REFINE_PARAMS = str(Path(__file__).parent / "refine_params.eff")
+
+
 def _phenix_available(phenix_env: str) -> bool:
     return bool(phenix_env) and Path(phenix_env).exists()
 
@@ -37,7 +40,9 @@ def real_space_refine(
     model_path = str(Path(model_path).absolute())
     map_path = str(Path(map_path).absolute())
     output_dir = str(Path(output_dir).absolute())
-    param = str(Path(phenix_param).absolute()) if phenix_param else ""
+    if not phenix_param:
+        phenix_param = DEFAULT_REFINE_PARAMS
+    param = str(Path(phenix_param).absolute())
     inner = (
         f"phenix.real_space_refine {model_path} {map_path} {param} "
         f"resolution={resolution}"

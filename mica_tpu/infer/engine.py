@@ -41,6 +41,27 @@ from ..ops.window import CORE, HALO, window_counts, window_starts
 from ..parallel.mesh import DATA_AXIS, make_mesh
 
 NUM_AA = 20
+NUM_AF_CHANNELS = 24
+
+
+def pack_af_encoding(af: np.ndarray) -> np.ndarray:
+    """Pack a binary (24, X, Y, Z) AF3 encoding into uint32 bitfields.
+
+    Cuts the host->device transfer 8x (one uint32 per voxel instead of 24
+    bytes); the model step unpacks on device with shift-and-mask.
+    """
+    af = np.asarray(af)
+    packed = np.zeros(af.shape[1:], np.uint32)
+    for c in range(af.shape[0]):
+        packed |= (af[c] > 0).astype(np.uint32) << np.uint32(c)
+    return packed
+
+
+def unpack_af_bits(packed: "jnp.ndarray", dtype=jnp.float32) -> "jnp.ndarray":
+    """(..., ) uint32 -> (..., 24) float channels-last on device."""
+    shifts = jnp.arange(NUM_AF_CHANNELS, dtype=jnp.uint32)
+    bits = (packed[..., None] >> shifts) & jnp.uint32(1)
+    return bits.astype(dtype)
 
 
 def postprocess_logits(bb: jnp.ndarray, ca: jnp.ndarray, aa: jnp.ndarray):
@@ -137,15 +158,14 @@ class SlidingWindowPredictor:
                 if padded_af is None:
                     return win, None
                 af = jax.lax.dynamic_slice(
-                    padded_af, (0, start[0], start[1], start[2]),
-                    (padded_af.shape[0], w, w, w),
+                    padded_af, (start[0], start[1], start[2]), (w, w, w)
                 )
                 return win, af
 
             wins, afs = jax.vmap(one)(starts)
             wins = wins[..., None]
             if afs is not None:
-                afs = jnp.moveaxis(afs, 1, -1).astype(wins.dtype)
+                afs = unpack_af_bits(afs, wins.dtype)
             return wins, afs
 
         if self._shardings is not None:
@@ -212,8 +232,12 @@ class SlidingWindowPredictor:
         padded_af = None
         with_af = af_encoding is not None
         if with_af:
-            af_pads = [(0, 0)] + pads
-            padded_af = jnp.asarray(np.pad(af_encoding.astype(np.int8), af_pads))
+            packed = (
+                af_encoding
+                if af_encoding.ndim == 3 and af_encoding.dtype == np.uint32
+                else pack_af_encoding(af_encoding)
+            )
+            padded_af = jnp.asarray(np.pad(packed, pads))
 
         starts = window_starts(shape, core_n).astype(np.int32)
         n_windows = starts.shape[0]
@@ -242,6 +266,9 @@ class SlidingWindowPredictor:
             cores = model_step(self.params, wins, afs)
             vols = scatter(vols, cores, batch)
         jax.block_until_ready(vols)
+        # force true completion with a 1-voxel readback: on tunneled
+        # platforms block_until_ready can return before execution finishes
+        _ = np.asarray(vols[0][0, 0, 0])
         self.timing["inference"] = time.time() - t1
         self.timing["n_windows"] = n_windows
 

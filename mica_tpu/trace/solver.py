@@ -66,6 +66,9 @@ class ModelingConfig:
     phenix_param: str = ""
 
     batch_size: int = 8
+    base_filters: int = 64
+    window_core: int = 48
+    window_halo: int = 8
 
     @property
     def af3_structures_path(self) -> str:
@@ -189,8 +192,21 @@ class Solver:
         t0 = time.time()
         from ..infer.engine import SlidingWindowPredictor
 
+        if self.params is None:
+            import jax.numpy as jnp
+
+            from ..models.init import init_params_fast
+            from ..models.mica import MICA
+
+            logger.warning("no network checkpoint loaded; using random weights")
+            self.params = init_params_fast(
+                MICA(base=self.config.base_filters),
+                (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))),
+            )
         predictor = SlidingWindowPredictor(
-            self.params, batch_size=self.config.batch_size
+            self.params, batch_size=self.config.batch_size,
+            base_filters=self.config.base_filters,
+            core=self.config.window_core, halo=self.config.window_halo,
         )
         self.volumes = predictor.predict_volume(self.prepared.volume, encoding)
         self.time_cost["nnPred"] = time.time() - t0

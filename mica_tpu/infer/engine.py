@@ -64,6 +64,25 @@ def unpack_af_bits(packed: "jnp.ndarray", dtype=jnp.float32) -> "jnp.ndarray":
     return bits.astype(dtype)
 
 
+def auto_batch_size(max_batch: int = 8, device=None) -> int:
+    """Memory-derived batch size, capped at 8 (predict.py:149-174 analog).
+
+    The full bf16 network peaks around ~1.5 GB of live activations per
+    64-cube window; leave headroom for the output volumes.
+    """
+    try:
+        device = device or jax.devices()[0]
+        stats = device.memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            per_window = 1.5 * 1024**3
+            usable = 0.7 * limit
+            return int(max(1, min(max_batch, usable // per_window)))
+    except Exception:
+        pass
+    return max_batch
+
+
 def postprocess_logits(bb: jnp.ndarray, ca: jnp.ndarray, aa: jnp.ndarray):
     """Window-level postprocessing (channels-last logits).
 

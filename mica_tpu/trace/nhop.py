@@ -60,7 +60,8 @@ def n_hop_matrix(best_neigh: Sequence[Sequence[int]], neigh_mat: np.ndarray,
     return mat
 
 
-def propagate_scores(base: np.ndarray, n_hop_mat: np.ndarray) -> np.ndarray:
+def propagate_scores(base: np.ndarray, n_hop_mat: np.ndarray,
+                     device: str = "auto") -> np.ndarray:
     """Sequence-offset score propagation (modeler.py:1108-1110).
 
     ``base`` is (n_fasta, L, N).  For each hop h, scores from sequence
@@ -69,12 +70,43 @@ def propagate_scores(base: np.ndarray, n_hop_mat: np.ndarray) -> np.ndarray:
 
         out = base + sum_h shift(base, +(h+1)) @ M_h^T
                    + sum_h shift(base, -(h+1)) @ M_h^T
+
+    This is a stack of (L, N) @ (N, N) matmuls — MXU-shaped.  For large
+    candidate sets it runs jit-compiled on the accelerator (``auto``
+    switches over at ~2e11 flops); small problems stay in numpy.
     """
-    out = base.copy()
     n_hop = n_hop_mat.shape[0]
+    flops = 4.0 * base.shape[0] * base.shape[1] * n_hop_mat.shape[1] ** 2 * n_hop
+    if device == "jax" or (device == "auto" and flops > 2e11):
+        return np.asarray(_propagate_jax(jnp_asarray(base), jnp_asarray(n_hop_mat)))
+    out = base.copy()
     for h in range(n_hop):
         k = h + 1
         fwd = np.pad(base[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
         bwd = np.pad(base[:, k:, :], [(0, 0), (0, k), (0, 0)])
         out += fwd @ n_hop_mat[h].T + bwd @ n_hop_mat[h].T
     return out
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.float32)
+
+
+def _propagate_jax(base, n_hop_mat):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(base, mats):
+        out = base
+        for h in range(mats.shape[0]):
+            k = h + 1
+            fwd = jnp.pad(base[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
+            bwd = jnp.pad(base[:, k:, :], [(0, 0), (0, k), (0, 0)])
+            mt = mats[h].T
+            out = out + fwd @ mt + bwd @ mt
+        return out
+
+    return run(base, n_hop_mat)

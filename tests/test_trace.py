@@ -142,3 +142,11 @@ def test_template_free_pipeline(scenario, cands):
     acc, cov = _assignment_accuracy(entries[0], cands, ca)
     assert cov > 0.5, f"coverage too low: {cov}"
     assert acc > 0.6, f"accuracy too low: {acc}"
+
+
+def test_rmsd_batch_fast_matches_svd(rng):
+    tgt = rng.normal(size=(50, 6, 3)) * 4
+    mob = rng.normal(size=(50, 6, 3)) * 4
+    slow = kabsch.superpose_batch(tgt, mob)[0]
+    fast = kabsch.rmsd_batch(tgt, mob)
+    np.testing.assert_allclose(fast, slow, atol=1e-8)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Dict, List, Union
+from typing import List, Union
 
 from .pdb import CHAIN_IDS, THREE_TO_ONE
 

@@ -31,7 +31,7 @@ the ``dropout_rate`` call argument; heads use 2x the base rate
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

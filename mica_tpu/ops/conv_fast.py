@@ -11,16 +11,17 @@ path on TPU (measured at 1-5% MXU utilization):
 
 Reformulations (numerically identical up to float reassociation):
 
-  * stem: extract 9-cube patches once (separable shift-stacking, 27 slice
-    ops) and run ONE (voxels x 729) @ (729 x 128) matmul against the four
-    kernels embedded zero-padded into the 9-cube — trading ~2.4x more
-    FLOPs for a dense MXU contraction (~15x faster end to end);
-  * depthwise: 27 shifted elementwise multiply-accumulates on the VPU.
+  * stem: per-dz matmuls over (dy, dx) patch planes with all four kernels
+    embedded zero-padded into the 9-cube — trading ~2.4x more FLOPs for
+    dense MXU contractions (183 -> 104 ms at batch 8 on v5e);
+  * depthwise: 27 shifted elementwise multiply-accumulates on the VPU
+    (kept available, but XLA's grouped conv measured faster on v5e, so
+    the model uses that path).
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

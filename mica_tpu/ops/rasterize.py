@@ -22,7 +22,7 @@ A trilinear splat variant is provided as an upgrade (mass-conserving
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ in which case the reference's split/parallel/merge protocol is applied.
 from __future__ import annotations
 
 import logging
-import shutil
+
 import subprocess
 import tempfile
 from pathlib import Path

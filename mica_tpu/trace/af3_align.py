@@ -22,11 +22,11 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..ops.kabsch import rmsd_batch, superpose, superpose_batch
+from ..ops.kabsch import rmsd_batch, superpose
 from .candidates import Candidates
 from .nhop import n_hop_matrix, propagate_scores
 from .types import AlignedFragment, SequenceEntry, build_seq_cand_aa_mat

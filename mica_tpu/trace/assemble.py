@@ -15,14 +15,14 @@ from __future__ import annotations
 
 import copy
 import logging
-from typing import Dict, List, Optional, Sequence, Set
+from typing import Dict, List, Sequence, Set
 
 import numpy as np
 
 from ..ops.kabsch import superpose
 from .candidates import Candidates
 from .nhop import propagate_scores
-from .types import AlignedFragment, SequenceEntry
+from .types import SequenceEntry
 
 logger = logging.getLogger(__name__)
 

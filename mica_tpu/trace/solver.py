@@ -179,7 +179,7 @@ class Solver:
     # ==================================================================
     def nn_process(self) -> None:
         """Map preprocessing + network prediction + candidate extraction."""
-        from ..infer.pipeline import build_af3_encoding, predict_map, prepare_map
+        from ..infer.pipeline import build_af3_encoding, prepare_map
 
         t0 = time.time()
         self.prepared = prepare_map(self.config.map_path)

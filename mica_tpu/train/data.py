@@ -24,7 +24,7 @@ from __future__ import annotations
 import dataclasses
 from glob import glob
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 

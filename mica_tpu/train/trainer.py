@@ -24,11 +24,11 @@ best (train.py:306 — a bug); here best tracking is correct.
 
 from __future__ import annotations
 
-import dataclasses
+
 import logging
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax
 import jax

@@ -364,6 +364,7 @@ class MICA(nn.Module):
 
     base: int = 64
     dtype: Optional[Dtype] = None
+    remat: bool = False  # rematerialize encoder stages (training memory)
 
     @nn.compact
     def __call__(self, exp_map, af_features=None, *, dropout_rate: float = 0.0,
@@ -377,10 +378,14 @@ class MICA(nn.Module):
             exp_map, af_features, dropout_rate, train
         )
 
+        stage_cls = (
+            nn.remat(EncoderStage, static_argnums=(2, 3)) if self.remat
+            else EncoderStage
+        )
         features = []
         ch = self.base
         for i in range(3):
-            x = EncoderStage(ch, ch * 2, dtype=self.dtype, name=f"encoder{i}")(
+            x = stage_cls(ch, ch * 2, dtype=self.dtype, name=f"encoder{i}")(
                 x, dropout_rate, train
             )
             ch *= 2

@@ -125,8 +125,11 @@ class Trainer:
         exp_only_prob: float = 0.4,
         use_augmentation: bool = True,
         seed: int = 2022,
+        remat: bool = True,
     ):
-        self.model = MICA(base=base_filters, dtype=dtype)
+        # remat: rematerialize encoder stages in the backward pass —
+        # full-size training at 64-cubes does not fit HBM otherwise
+        self.model = MICA(base=base_filters, dtype=dtype, remat=remat)
         self.tx = make_optimizer(lr)
         self.scheduler = PlateauScheduler(lr)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)

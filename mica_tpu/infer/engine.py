@@ -247,8 +247,10 @@ class SlidingWindowPredictor:
         pads = [
             (halo, (padded_shape[a] - core_n) + win - halo - shape[a]) for a in range(3)
         ]
-        padded_map = jnp.asarray(np.pad(volume.astype(np.float32), pads))
+        np_padded = np.pad(np.asarray(volume, np.float32), pads)
+        padded_map = jnp.asarray(np_padded)
         padded_af = None
+        np_af = None
         with_af = af_encoding is not None
         if with_af:
             packed = (
@@ -256,12 +258,36 @@ class SlidingWindowPredictor:
                 if af_encoding.ndim == 3 and af_encoding.dtype == np.uint32
                 else pack_af_encoding(af_encoding)
             )
-            padded_af = jnp.asarray(np.pad(packed, pads))
+            np_af = np.pad(packed, pads)
+            padded_af = jnp.asarray(np_af)
 
         starts = window_starts(shape, core_n).astype(np.int32)
         n_windows = starts.shape[0]
+
+        # All-zero windows (no density, no AF3 atoms) are identical inputs
+        # and therefore produce identical outputs: compute one
+        # representative and broadcast its cores.  Real maps are typically
+        # 40-60% empty windows, so this roughly halves the compute while
+        # staying output-identical.
+        empty = np.zeros(n_windows, bool)
+        for i, s in enumerate(starts):
+            blk = np_padded[s[0] : s[0] + win, s[1] : s[1] + win, s[2] : s[2] + win]
+            if blk.any():
+                continue
+            if with_af:
+                ab = np_af[s[0] : s[0] + win, s[1] : s[1] + win, s[2] : s[2] + win]
+                if ab.any():
+                    continue
+            empty[i] = True
+        compute_starts = starts[~empty]
+        empty_starts = starts[empty]
+        if len(compute_starts) == 0:
+            compute_starts = starts[:1]
+        self.timing["n_empty"] = int(empty.sum())
+
+        starts = compute_starts
         bsz = self.batch_size
-        n_pad = (-n_windows) % bsz
+        n_pad = (-starts.shape[0]) % bsz
         if n_pad:
             starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)])
 
@@ -284,6 +310,23 @@ class SlidingWindowPredictor:
             wins, afs = gather(padded_map, padded_af, batch)
             cores = model_step(self.params, wins, afs)
             vols = scatter(vols, cores, batch)
+
+        if len(empty_starts):
+            # one forward on the all-zero window, broadcast into every
+            # empty position (identical inputs -> identical outputs)
+            zero_wins = jnp.zeros((bsz, win, win, win, 1), jnp.float32)
+            zero_afs = (
+                jnp.zeros((bsz, win, win, win, NUM_AF_CHANNELS), jnp.float32)
+                if with_af else None
+            )
+            z_cores = model_step(self.params, zero_wins, zero_afs)
+            for ofs in range(0, len(empty_starts), bsz):
+                chunk = empty_starts[ofs : ofs + bsz]
+                if len(chunk) < bsz:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], bsz - len(chunk), axis=0)]
+                    )
+                vols = scatter(vols, z_cores, jnp.asarray(chunk))
         jax.block_until_ready(vols)
         # force true completion with a 1-voxel readback: on tunneled
         # platforms block_until_ready can return before execution finishes

@@ -99,3 +99,24 @@ def test_engine_sharded_matches_single(params, rng):
 
     for key in ("backbone_probability", "carbon_alpha_probability", "amino_acid_probability"):
         np.testing.assert_allclose(sharded[key], single[key], atol=1e-5, err_msg=key)
+
+
+def test_engine_empty_window_dedup(params, rng):
+    """Volumes with empty regions: dedup path must match direct forward."""
+    shape = (26, 26, 26)
+    vol = np.zeros(shape, np.float32)
+    vol[:10, :10, :10] = rng.random((10, 10, 10)).astype(np.float32)
+    af = np.zeros((24,) + shape, np.float32)
+    af[0, :10, :10, :10] = (rng.random((10, 10, 10)) < 0.05).astype(np.float32)
+
+    pred = SlidingWindowPredictor(
+        params, batch_size=2, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO,
+    )
+    out = pred.predict_volume(vol, af)
+    assert pred.timing["n_empty"] > 0
+
+    bb_v, ca_v, aa_v = _reference_prediction(params, vol, af)
+    np.testing.assert_allclose(out["backbone_probability"], bb_v, atol=1e-4)
+    np.testing.assert_allclose(out["carbon_alpha_probability"], ca_v, atol=1e-4)
+    np.testing.assert_allclose(out["amino_acid_probability"], aa_v, atol=1e-4)

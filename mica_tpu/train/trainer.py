@@ -142,10 +142,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, sample_shape=(1, 64, 64, 64, 1)) -> TrainState:
+        from ..models.init import init_params_fast
+
         self.rng, k = jax.random.split(self.rng)
         x = jnp.zeros(sample_shape, jnp.float32)
         af = jnp.zeros(sample_shape[:-1] + (24,), jnp.float32)
-        params = self.model.init(k, x, af)["params"]
+        # host-side init (same xavier-normal/zeros scheme) — flax's
+        # compiled init program costs minutes on slow-compile hosts
+        params = init_params_fast(self.model, (x, af),
+                                  seed=int(jax.random.randint(k, (), 0, 2**31 - 1)))
         state = TrainState(
             params=params,
             opt_state=self.tx.init(params),

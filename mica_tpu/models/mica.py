@@ -43,13 +43,20 @@ Dtype = Any
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm over spatial dims, no affine (torch InstanceNorm3d default).
 
-    Statistics are computed in float32 regardless of compute dtype.
+    Statistics accumulate in float32 regardless of compute dtype, using the
+    E[x^2] - E[x]^2 form so the cast-to-f32 fuses into the reductions: the
+    naive ``jnp.var`` materializes a full-size padded f32 temporary per
+    call, which blows training HBM (measured 2.25 GB per 512-ch call in
+    the remat backward).
     """
     dt = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dt)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    sq_mean = jnp.mean(
+        jax.lax.square(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True
+    )
+    var = jnp.maximum(sq_mean - jax.lax.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    return ((x.astype(jnp.float32) - mean) * scale).astype(dt)
 
 
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:

@@ -283,13 +283,18 @@ class EncoderStage(nn.Module):
     in_channels: int
     out_channels: int
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, dropout_rate: float, train: bool):
-        x = ResidualDenseBlock(self.in_channels, dtype=self.dtype,
-                               name="dense_block")(x, dropout_rate, train)
-        x = DualAttention(self.in_channels, dtype=self.dtype,
-                          name="dual_attn")(x, dropout_rate, train)
+        rdb_cls, attn_cls = ResidualDenseBlock, DualAttention
+        if self.remat:
+            rdb_cls = nn.remat(ResidualDenseBlock, static_argnums=(2, 3))
+            attn_cls = nn.remat(DualAttention, static_argnums=(2, 3))
+        x = rdb_cls(self.in_channels, dtype=self.dtype,
+                    name="dense_block")(x, dropout_rate, train)
+        x = attn_cls(self.in_channels, dtype=self.dtype,
+                     name="dual_attn")(x, dropout_rate, train)
         x = Conv(self.out_channels, 3, dtype=self.dtype, name="transition")(x)
         x = instance_norm(x)
         x = nn.relu(x)
@@ -392,7 +397,8 @@ class MICA(nn.Module):
         features = []
         ch = self.base
         for i in range(3):
-            x = stage_cls(ch, ch * 2, dtype=self.dtype, name=f"encoder{i}")(
+            x = stage_cls(ch, ch * 2, dtype=self.dtype, remat=self.remat,
+                          name=f"encoder{i}")(
                 x, dropout_rate, train
             )
             ch *= 2
@@ -401,13 +407,16 @@ class MICA(nn.Module):
         fpn = FPN(self.base, dtype=self.dtype, name="fpn")(features, dropout_rate, train)
 
         head_rate = dropout_rate * 2
-        backbone = TaskHead(4, dtype=self.dtype, name="backbone_head")(
+        head_cls = (
+            nn.remat(TaskHead, static_argnums=(2, 3)) if self.remat else TaskHead
+        )
+        backbone = head_cls(4, dtype=self.dtype, name="backbone_head")(
             fpn, head_rate, train
         )
-        ca = TaskHead(4, dtype=self.dtype, name="ca_head")(
+        ca = head_cls(4, dtype=self.dtype, name="ca_head")(
             jnp.concatenate([fpn, backbone.astype(fpn.dtype)], axis=-1), head_rate, train
         )
-        aa = TaskHead(21, dtype=self.dtype, name="aa_head")(
+        aa = head_cls(21, dtype=self.dtype, name="aa_head")(
             jnp.concatenate([fpn, backbone.astype(fpn.dtype), ca.astype(fpn.dtype)], axis=-1),
             head_rate, train,
         )

@@ -150,3 +150,60 @@ def test_rmsd_batch_fast_matches_svd(rng):
     slow = kabsch.superpose_batch(tgt, mob)[0]
     fast = kabsch.rmsd_batch(tgt, mob)
     np.testing.assert_allclose(fast, slow, atol=1e-8)
+
+
+def test_af3_pipeline_two_chains():
+    """Two copies of the same sequence in one map -> both chains assigned."""
+    from synthetic import make_chain, _add_bump, AA_LETTERS
+    import numpy as np
+
+    shape = (96, 64, 64)
+    rng = np.random.default_rng(11)
+    n_res = 40
+    ca1 = make_chain(n_res, (48, 64, 64), seed=21)
+    ca2 = ca1 + np.array([44.0, 0.0, 0.0])  # translated copy
+    seq = "".join(rng.choice(list(AA_LETTERS), size=n_res))
+
+    ca_prob = np.zeros(shape, np.float32)
+    bb_prob = np.zeros(shape, np.float32)
+    aa_prob = np.zeros((20,) + shape, np.float32)
+    letters = list(AA_LETTERS)
+    for chain in (ca1, ca2):
+        for i, c in enumerate(chain):
+            _add_bump(ca_prob, c, 1.0, 0.95)
+            _add_bump(bb_prob, c, 1.2, 0.95)
+            _add_bump(aa_prob[letters.index(seq[i])], c, 1.6, 0.9)
+            if i + 1 < n_res:
+                for frac in (0.25, 0.5, 0.75):
+                    _add_bump(bb_prob, (1 - frac) * c + frac * chain[i + 1], 1.0, 0.9)
+    total = aa_prob.sum(axis=0, keepdims=True)
+    aa_prob = aa_prob + np.maximum(0.0, 1.0 - total) / 20.0
+    vols = {
+        "carbon_alpha_probability": ca_prob,
+        "backbone_probability": bb_prob,
+        "amino_acid_probability": aa_prob,
+        "amino_acid_prediction": np.argmax(aa_prob, axis=0).astype(np.int64),
+    }
+
+    cands2 = extract_candidates(ca_prob, bb_prob, aa_prob,
+                                vols["amino_acid_prediction"])
+    entries = _entries_for(seq, af3_coords=ca1.copy(), chain_ids=("A", "B"))
+    aligner = AF3Aligner(entries, cands2, ca_prob)
+    aligner.run()
+    asm = Assembler(entries, cands2, aligner.seq_cand_aa_mat, aligner.n_hop_mat,
+                    protocol="AF3_struct")
+    asm.build_initial_model()
+    asm.fill_gaps()
+
+    # both chains must carry assignments, on disjoint candidates, and the
+    # two assigned coordinate sets must be spatially separated copies
+    res_a = entries[0].chains["A"].result
+    res_b = entries[0].chains["B"].result
+    n_a, n_b = (res_a != -1).sum(), (res_b != -1).sum()
+    assert n_a > 0.4 * n_res and n_b > 0.4 * n_res, (n_a, n_b)
+    set_a = set(res_a[res_a != -1].tolist())
+    set_b = set(res_b[res_b != -1].tolist())
+    assert not (set_a & set_b)
+    mean_a = cands2.coords[list(set_a)].mean(axis=0)
+    mean_b = cands2.coords[list(set_b)].mean(axis=0)
+    assert abs(mean_a[0] - mean_b[0]) > 20

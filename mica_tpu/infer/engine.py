@@ -111,7 +111,15 @@ class SlidingWindowPredictor:
         use_mesh: bool = False,
         core: int = CORE,
         halo: int = HALO,
+        blend: str = "core",
     ):
+        """``blend``: 'core' pastes each window's halo-stripped core
+        (reference semantics, predict.py:496-501); 'average' accumulates
+        the FULL window prediction with uniform weights and divides — the
+        overlap-averaged upgrade, smoother at window seams."""
+        if blend not in ("core", "average"):
+            raise ValueError(f"unknown blend mode {blend!r}")
+        self.blend = blend
         self.model = MICA(base=base_filters, dtype=dtype)
         self.params = params
         self.core = int(core)
@@ -144,10 +152,12 @@ class SlidingWindowPredictor:
             return self._model_step
         model, core_n, halo = self.model, self.core, self.halo
 
+        full = self.blend == "average"
+
         def step(params, windows, af):
             bb, ca, aa = model.apply({"params": params}, windows, af)
             bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
-            sl = slice(halo, halo + core_n)
+            sl = slice(None) if full else slice(halo, halo + core_n)
             return (
                 bb_p[:, sl, sl, sl, 0],
                 ca_p[:, sl, sl, sl, 0],
@@ -199,23 +209,41 @@ class SlidingWindowPredictor:
     def _build_scatter(self):
         """Cheap per-map-shape core scatter (replicated outputs)."""
         core_n = self.core
+        average = self.blend == "average"
 
         def scatter(vols, cores, starts):
-            bb_v, ca_v, aa_v = vols
+            bb_v, ca_v, aa_v, cnt_v = vols
             bb_c, ca_c, aa_c = cores
             for i in range(starts.shape[0]):
                 s = starts[i]
-                bb_v = jax.lax.dynamic_update_slice(bb_v, bb_c[i], (s[0], s[1], s[2]))
-                ca_v = jax.lax.dynamic_update_slice(ca_v, ca_c[i], (s[0], s[1], s[2]))
-                aa_v = jax.lax.dynamic_update_slice(aa_v, aa_c[i], (s[0], s[1], s[2], 0))
-            return bb_v, ca_v, aa_v
+                if average:
+                    # accumulate full windows at (start - halo) in the
+                    # halo-padded accumulator frame (see predict_volume)
+                    pos = (s[0], s[1], s[2])
+                    blk = jax.lax.dynamic_slice(
+                        bb_v, pos, bb_c[i].shape) + bb_c[i]
+                    bb_v = jax.lax.dynamic_update_slice(bb_v, blk, pos)
+                    blk = jax.lax.dynamic_slice(
+                        ca_v, pos, ca_c[i].shape) + ca_c[i]
+                    ca_v = jax.lax.dynamic_update_slice(ca_v, blk, pos)
+                    blk = jax.lax.dynamic_slice(
+                        aa_v, pos + (0,), aa_c[i].shape) + aa_c[i]
+                    aa_v = jax.lax.dynamic_update_slice(aa_v, blk, pos + (0,))
+                    blk = jax.lax.dynamic_slice(
+                        cnt_v, pos, bb_c[i].shape) + jnp.ones_like(bb_c[i])
+                    cnt_v = jax.lax.dynamic_update_slice(cnt_v, blk, pos)
+                else:
+                    bb_v = jax.lax.dynamic_update_slice(bb_v, bb_c[i], (s[0], s[1], s[2]))
+                    ca_v = jax.lax.dynamic_update_slice(ca_v, ca_c[i], (s[0], s[1], s[2]))
+                    aa_v = jax.lax.dynamic_update_slice(aa_v, aa_c[i], (s[0], s[1], s[2], 0))
+            return bb_v, ca_v, aa_v, cnt_v
 
         if self._shardings is not None:
             repl, bshard = self._shardings
             return jax.jit(
                 scatter,
-                in_shardings=((repl,) * 3, (bshard,) * 3, bshard),
-                out_shardings=(repl,) * 3,
+                in_shardings=((repl,) * 4, (bshard,) * 3, bshard),
+                out_shardings=(repl,) * 4,
                 donate_argnums=(0,),
             )
         return jax.jit(scatter, donate_argnums=(0,))
@@ -291,10 +319,13 @@ class SlidingWindowPredictor:
         if n_pad:
             starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)])
 
+        average = self.blend == "average"
+        acc_shape = tuple(np_padded.shape) if average else padded_shape
         vols = (
-            jnp.zeros(padded_shape, jnp.float32),
-            jnp.zeros(padded_shape, jnp.float32),
-            jnp.zeros(padded_shape + (NUM_AA,), jnp.float32),
+            jnp.zeros(acc_shape, jnp.float32),
+            jnp.zeros(acc_shape, jnp.float32),
+            jnp.zeros(acc_shape + (NUM_AA,), jnp.float32),
+            jnp.zeros(acc_shape if average else (1, 1, 1), jnp.float32),
         )
         if self._shardings is not None:
             vols = jax.device_put(vols, self._shardings[0])
@@ -335,8 +366,15 @@ class SlidingWindowPredictor:
         self.timing["n_windows"] = n_windows
 
         t2 = time.time()
-        bb_v, ca_v, aa_v = vols
-        sl = tuple(slice(0, s) for s in shape)
+        bb_v, ca_v, aa_v, cnt_v = vols
+        if average:
+            safe = jnp.maximum(cnt_v, 1.0)
+            bb_v = bb_v / safe
+            ca_v = ca_v / safe
+            aa_v = aa_v / safe[..., None]
+            sl = tuple(slice(halo, halo + s) for s in shape)
+        else:
+            sl = tuple(slice(0, s) for s in shape)
         if keep_on_device:
             # leave cropping + argmax on device; no host transfer (the
             # device->host link can be the bottleneck on tunneled setups)

@@ -207,3 +207,57 @@ def test_af3_pipeline_two_chains():
     mean_a = cands2.coords[list(set_a)].mean(axis=0)
     mean_b = cands2.coords[list(set_b)].mean(axis=0)
     assert abs(mean_a[0] - mean_b[0]) > 20
+
+
+def test_af3_pipeline_two_sequences():
+    """Two different sequences/structures in one map, one chain each."""
+    from synthetic import make_chain, _add_bump, AA_LETTERS
+    import numpy as np
+
+    shape = (96, 64, 64)
+    rng = np.random.default_rng(23)
+    n_res = 36
+    ca1 = make_chain(n_res, (48, 64, 64), seed=31)
+    ca2 = make_chain(n_res, (48, 64, 64), seed=32) + np.array([46.0, 0.0, 0.0])
+    seq1 = "".join(rng.choice(list(AA_LETTERS), size=n_res))
+    seq2 = "".join(rng.choice(list(AA_LETTERS), size=n_res))
+
+    ca_prob = np.zeros(shape, np.float32)
+    bb_prob = np.zeros(shape, np.float32)
+    aa_prob = np.zeros((20,) + shape, np.float32)
+    letters = list(AA_LETTERS)
+    for chain, seq in ((ca1, seq1), (ca2, seq2)):
+        for i, c in enumerate(chain):
+            _add_bump(ca_prob, c, 1.0, 0.95)
+            _add_bump(bb_prob, c, 1.2, 0.95)
+            _add_bump(aa_prob[letters.index(seq[i])], c, 1.6, 0.9)
+            if i + 1 < n_res:
+                for frac in (0.25, 0.5, 0.75):
+                    _add_bump(bb_prob, (1 - frac) * c + frac * chain[i + 1], 1.0, 0.9)
+    total = aa_prob.sum(axis=0, keepdims=True)
+    aa_prob = aa_prob + np.maximum(0.0, 1.0 - total) / 20.0
+    aa_pred = np.argmax(aa_prob, axis=0).astype(np.int64)
+
+    cands2 = extract_candidates(ca_prob, bb_prob, aa_prob, aa_pred)
+
+    e1 = SequenceEntry(name="p1", sequence=seq1, af3_coords=ca1.copy())
+    e1.chains["A"] = ChainModel(chain_id="A", length=n_res)
+    e2 = SequenceEntry(name="p2", sequence=seq2, af3_coords=ca2.copy() + 50.0)
+    e2.chains["B"] = ChainModel(chain_id="B", length=n_res)
+    entries = [e1, e2]
+
+    aligner = AF3Aligner(entries, cands2, ca_prob)
+    aligner.run()
+    asm = Assembler(entries, cands2, aligner.seq_cand_aa_mat, aligner.n_hop_mat,
+                    protocol="AF3_struct")
+    asm.build_initial_model()
+    asm.fill_gaps()
+
+    res1 = e1.chains["A"].result
+    res2 = e2.chains["B"].result
+    assert (res1 != -1).sum() > 0.4 * n_res
+    assert (res2 != -1).sum() > 0.4 * n_res
+    # each sequence's chain should sit in its own half of the map
+    m1 = cands2.coords[res1[res1 != -1]].mean(axis=0)
+    m2 = cands2.coords[res2[res2 != -1]].mean(axis=0)
+    assert m1[0] < 48 < m2[0]

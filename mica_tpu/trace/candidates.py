@@ -142,7 +142,10 @@ def refine_candidates(cands: np.ndarray, ca_prob: np.ndarray, aa_prob: np.ndarra
     w = ca_prob[neigh[..., 0], neigh[..., 1], neigh[..., 2]]  # (N, 27)
     w = w / w.sum(axis=1, keepdims=True)
     coords = np.einsum("nk,nkd->nd", w, neigh.astype(np.float64))
-    aa = np.einsum("nk,cnk->cn", w, aa_prob[:, neigh[..., 0], neigh[..., 1], neigh[..., 2]])
+    # aa_prob may be a device array (see solver): the gather runs on device
+    # and only the (20, N, 27) neighborhood values transfer to host
+    aa_vals = np.asarray(aa_prob[:, neigh[..., 0], neigh[..., 1], neigh[..., 2]])
+    aa = np.einsum("nk,cnk->cn", w, aa_vals)
     return coords, aa
 
 
@@ -198,7 +201,7 @@ def extract_candidates(
     rounded = np.clip(
         np.rint(coords).astype(np.int64), 0, np.asarray(ca_prob.shape) - 1
     )
-    pred = aa_pred[rounded[:, 0], rounded[:, 1], rounded[:, 2]]
+    pred = np.asarray(aa_pred[rounded[:, 0], rounded[:, 1], rounded[:, 2]])
 
     diff = coords[:, None, :] - coords[None, :, :]
     dist = np.sqrt(np.sum(diff * diff, axis=-1))

@@ -208,7 +208,19 @@ class Solver:
             base_filters=self.config.base_filters,
             core=self.config.window_core, halo=self.config.window_halo,
         )
-        self.volumes = predictor.predict_volume(self.prepared.volume, encoding)
+        out = predictor.predict_volume(
+            self.prepared.volume, encoding, keep_on_device=True
+        )
+        # BB/CA volumes come to host (clustering/NMS/graph run there); the
+        # 20-channel AA volume stays on device — candidate extraction
+        # gathers only the needed neighborhoods, avoiding a ~20x larger
+        # device->host transfer
+        self.volumes = {
+            "backbone_probability": np.asarray(out["backbone_probability"]),
+            "carbon_alpha_probability": np.asarray(out["carbon_alpha_probability"]),
+            "amino_acid_probability": out["amino_acid_probability"],
+            "amino_acid_prediction": out["amino_acid_prediction"],
+        }
         self.time_cost["nnPred"] = time.time() - t0
 
         self._timed("clustering", self._clustering)

@@ -49,9 +49,12 @@ def main():
             pred = SlidingWindowPredictor(
                 params, batch_size=batch_size, dtype=jnp.bfloat16
             )
-            # warmup (compile)
-            small = volume[:96, :96, :96]
-            pred.predict_volume(small, af[:, :96, :96, :96], keep_on_device=True)
+            # Warm up on the EXACT bench shape so every jit program
+            # (gather/model/scatter at 256-cube) compiles outside the timed
+            # region; the warmup call's wall time is reported separately.
+            t_w = time.time()
+            pred.predict_volume(volume, af, keep_on_device=True)
+            warmup_s = time.time() - t_w
 
             t0 = time.time()
             out = pred.predict_volume(volume, af, keep_on_device=True)
@@ -75,6 +78,7 @@ def main():
             "batch_size": batch_size,
             "inference_s": round(pred.timing["inference"], 3),
             "end_to_end_s": round(elapsed, 3),
+            "warmup_compile_s": round(warmup_s, 3),
             "windows_per_s": round(
                 pred.timing["n_windows"] / pred.timing["inference"], 2
             ),

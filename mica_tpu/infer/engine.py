@@ -133,6 +133,8 @@ class SlidingWindowPredictor:
                 self.batch_size = -(-self.batch_size // n_dev) * n_dev
         self.timing: Dict[str, float] = {}
         self._model_step = None
+        self._gather = {}
+        self._scatter = None
         self._shardings = None
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -176,7 +178,11 @@ class SlidingWindowPredictor:
         return self._model_step
 
     def _build_gather(self, with_af: bool):
-        """Cheap per-map-shape window gather."""
+        """Cheap window gather; the jit wrapper is cached on self so repeat
+        calls on the same map shape hit jax's shape-keyed trace cache
+        instead of re-tracing a fresh closure every predict_volume."""
+        if with_af in self._gather:
+            return self._gather[with_af]
         w = self.window
 
         def gather(padded_map, padded_af, starts):
@@ -199,15 +205,20 @@ class SlidingWindowPredictor:
 
         if self._shardings is not None:
             repl, bshard = self._shardings
-            return jax.jit(
+            fn = jax.jit(
                 gather,
                 in_shardings=(repl, repl if with_af else None, bshard),
                 out_shardings=(bshard, bshard if with_af else None),
             )
-        return jax.jit(gather)
+        else:
+            fn = jax.jit(gather)
+        self._gather[with_af] = fn
+        return fn
 
     def _build_scatter(self):
-        """Cheap per-map-shape core scatter (replicated outputs)."""
+        """Cheap core scatter (replicated outputs); jit wrapper cached."""
+        if self._scatter is not None:
+            return self._scatter
         core_n = self.core
         average = self.blend == "average"
 
@@ -240,13 +251,16 @@ class SlidingWindowPredictor:
 
         if self._shardings is not None:
             repl, bshard = self._shardings
-            return jax.jit(
+            fn = jax.jit(
                 scatter,
                 in_shardings=((repl,) * 4, (bshard,) * 3, bshard),
                 out_shardings=(repl,) * 4,
                 donate_argnums=(0,),
             )
-        return jax.jit(scatter, donate_argnums=(0,))
+        else:
+            fn = jax.jit(scatter, donate_argnums=(0,))
+        self._scatter = fn
+        return fn
 
     # ------------------------------------------------------------------
     def predict_volume(

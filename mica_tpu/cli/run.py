@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gap_len", type=int, default=3)
     p.add_argument("--struct_len", type=int, default=5)
     p.add_argument("--seed", type=int, default=2022)
-    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="0 = derive from device memory (auto_batch_size)")
     # external tools
     p.add_argument("--run_pulchra", action="store_true")
     p.add_argument("--pulchra_path", default="",

@@ -118,12 +118,17 @@ def predict_map(
     map_path: str,
     params,
     docked_pdb_path: Optional[str] = None,
-    batch_size: int = 8,
+    batch_size: int = 0,
     dtype=None,
     mesh=None,
 ) -> Dict[str, np.ndarray]:
-    """End-to-end: map file (+ optional docked AF3 model) -> prediction volumes."""
+    """End-to-end: map file (+ optional docked AF3 model) -> prediction volumes.
+
+    ``batch_size=0`` derives the batch from device memory (the reference's
+    memory heuristic, predict.py:149-174)."""
     import jax.numpy as jnp
+
+    from .engine import auto_batch_size
 
     prepared = prepare_map(map_path)
     encoding = None
@@ -132,7 +137,7 @@ def predict_map(
 
     predictor = SlidingWindowPredictor(
         params,
-        batch_size=batch_size,
+        batch_size=batch_size or auto_batch_size(),
         dtype=dtype if dtype is not None else jnp.bfloat16,
         mesh=mesh,
     )

@@ -89,7 +89,11 @@ def parse_cif_atoms(path_or_text: Union[str, Path],
                     rec.get("label_atom_id", "").strip('"'),
                     rec.get("label_alt_id", ".").replace(".", ""),
                     rec.get("label_comp_id", ""),
-                    chain[:1],
+                    # full ID kept (multi-char past 26 chains); renamed into
+                    # the 62-ID space by prep.af3_results.rename_chains
+                    # BEFORE truncation to PDB's single chain column
+                    # (reference: process_AF3_results.py:145-198)
+                    chain,
                     res_id,
                     "",
                     x, y, z, occ, bf,

@@ -46,7 +46,10 @@ ATOM_DTYPE = np.dtype(
         ("name", "U4"),
         ("altloc", "U1"),
         ("res_name", "U3"),
-        ("chain", "U1"),
+        # U4, not U1: mmCIF label_asym_id grows multi-char past 26 chains
+        # ("AA", "AB", ...); prep.af3_results.rename_chains maps these into
+        # the 62-ID space BEFORE any single-char PDB write.
+        ("chain", "U4"),
         ("res_id", np.int32),
         ("icode", "U1"),
         ("x", np.float32),
@@ -173,6 +176,7 @@ def format_atom_line(
 ) -> str:
     if not element:
         element = name[:1]
+    chain = str(chain)[:1] or " "  # PDB format: single chain-ID column
     if len(name) < 4:
         name_field = f" {name:<3s}"
     else:

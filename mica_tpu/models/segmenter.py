@@ -57,7 +57,7 @@ def _fiedler_split(adj: np.ndarray) -> Optional[np.ndarray]:
     lap = np.eye(len(adj)) - d_isqrt[:, None] * adj * d_isqrt[None, :]
     vals, vecs = np.linalg.eigh(lap)
     if len(vals) < 2 or vals[1] > 0.98:  # essentially disconnected or rigid
-        pass
+        return None
     fiedler = vecs[:, 1]
     mask = fiedler >= np.median(fiedler)
     if mask.all() or (~mask).all():

@@ -46,11 +46,15 @@ def rename_chains(atoms: np.ndarray) -> Dict[str, str]:
     chains = pdb_io.chains(atoms)
     if len(chains) > 62:
         raise OutOfChainsError(f"{len(chains)} chains")
-    used = set(c for c in chains if c in pdb_io.CHAIN_IDS)
+
+    def valid(c):  # single-char member (NOT substring: "AB" in CHAIN_IDS is True)
+        return len(c) == 1 and c in pdb_io.CHAIN_IDS
+
+    used = set(c for c in chains if valid(c))
     mapping: Dict[str, str] = {}
     next_ix = 0
     for c in chains:
-        if c in pdb_io.CHAIN_IDS and c not in mapping.values():
+        if valid(c) and c not in mapping.values():
             mapping[c] = c
             continue
         while next_ix < 62 and pdb_io.CHAIN_IDS[next_ix] in used:

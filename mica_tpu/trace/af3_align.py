@@ -80,6 +80,7 @@ class AF3Aligner:
         ca_prob: np.ndarray,
         n_hop: int = 6,
         struct_len: int = 5,
+        neigh_mat_threshold: float = 0.7,
         batch_block: int = 65536,
     ):
         self.entries = list(entries)
@@ -87,6 +88,7 @@ class AF3Aligner:
         self.ca_prob = ca_prob
         self.n_hop = n_hop
         self.struct_len = struct_len
+        self.neigh_mat_threshold = float(neigh_mat_threshold)
         self.batch_block = batch_block
         self.seq_cand_aa_mat = build_seq_cand_aa_mat(self.entries, cands.aa_prob)
         self.n_hop_mat = n_hop_matrix(cands.best_neigh, cands.neigh_mat, n_hop)
@@ -99,7 +101,8 @@ class AF3Aligner:
     # ------------------------------------------------------------------
     def struct_scoring(self) -> None:
         """Batched equivalent of seqStructScoring (modeler.py:1372-1434)."""
-        traces = local_traces(self.cands, self.struct_len)
+        traces = local_traces(self.cands, self.struct_len,
+                              min_edge_score=self.neigh_mat_threshold)
         if not traces:
             raise RuntimeError("no local traces — candidate graph too sparse")
         logger.info("local traces: %d", len(traces))

@@ -55,8 +55,12 @@ class ModelingConfig:
     n_hop: int = 6
     neigh_mat_threshold: float = 0.7
     score_threshold: float = 2.0
+    # Accepted for reference-CLI compatibility but inert, exactly as in the
+    # reference: run.py:96 parses --gap_len and modeler.py never reads it.
     gap_len: int = 3
     struct_len: int = 5
+    # Accepted for compatibility (reference seeds torch with it, run.py:115);
+    # this pipeline has no RNG anywhere — deterministic by construction.
     seed: int = 2022
 
     run_pulchra: bool = False
@@ -65,7 +69,7 @@ class ModelingConfig:
     phenix_act: str = ""
     phenix_param: str = ""
 
-    batch_size: int = 8
+    batch_size: int = 0  # 0 = derive from device memory (auto_batch_size)
     base_filters: int = 64
     window_core: int = 48
     window_halo: int = 8
@@ -203,8 +207,11 @@ class Solver:
                 MICA(base=self.config.base_filters),
                 (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))),
             )
+        from ..infer.engine import auto_batch_size
+
         predictor = SlidingWindowPredictor(
-            self.params, batch_size=self.config.batch_size,
+            self.params,
+            batch_size=self.config.batch_size or auto_batch_size(),
             base_filters=self.config.base_filters,
             core=self.config.window_core, halo=self.config.window_halo,
         )
@@ -252,6 +259,7 @@ class Solver:
             self.entries, self.cands,
             self.volumes["carbon_alpha_probability"],
             n_hop=self.config.n_hop, struct_len=self.config.struct_len,
+            neigh_mat_threshold=self.config.neigh_mat_threshold,
         )
         aligner.run()
         self._aligner = aligner

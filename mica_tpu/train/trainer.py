@@ -267,7 +267,12 @@ class Trainer:
         state = state.replace(
             opt_state=_set_lr(state.opt_state, self.scheduler.lr)
         )
-        totals: Dict[str, float] = {}
+        # Accumulate metrics as device arrays and sync ONCE at epoch end:
+        # a float() per step forces a device round-trip that stalls the
+        # SPMD pipeline (each step would wait for the previous readback).
+        keys = ("total_loss", "backbone_loss", "carbon_alpha_loss",
+                "amino_acid_loss")
+        totals: Dict[str, object] = {}
         n = 0
         t0 = time.time()
         for batch in loader:
@@ -275,26 +280,32 @@ class Trainer:
             batch = tuple(jnp.asarray(b) for b in batch)
             state, metrics = step_fn(state, batch, lambdas, k)
             n += 1
-            for key in ("total_loss", "backbone_loss", "carbon_alpha_loss",
-                        "amino_acid_loss"):
-                totals[key] = totals.get(key, 0.0) + float(metrics[key])
-        out = {k: v / max(n, 1) for k, v in totals.items()}
+            for key in keys:
+                totals[key] = (
+                    metrics[key] if key not in totals
+                    else totals[key] + metrics[key]
+                )
+        out = {k: float(v) / max(n, 1) for k, v in totals.items()}
         out["epoch_time"] = time.time() - t0
         out["steps"] = n
         return state, out
 
     def run_validation(self, state: TrainState, loader, epoch: int) -> Dict[str, float]:
         lambdas = jnp.asarray(task_lambdas(epoch), jnp.float32)
-        totals: Dict[str, float] = {}
+        keys = ("total_loss", "backbone_loss", "carbon_alpha_loss",
+                "amino_acid_loss")
+        totals: Dict[str, object] = {}
         n = 0
         for batch in loader:
             batch = tuple(jnp.asarray(b) for b in batch)
             metrics = self.eval_step(state.params, batch, lambdas)
             n += 1
-            for key in ("total_loss", "backbone_loss", "carbon_alpha_loss",
-                        "amino_acid_loss"):
-                totals[key] = totals.get(key, 0.0) + float(metrics[key])
-        return {k: v / max(n, 1) for k, v in totals.items()}
+            for key in keys:
+                totals[key] = (
+                    metrics[key] if key not in totals
+                    else totals[key] + metrics[key]
+                )
+        return {k: float(v) / max(n, 1) for k, v in totals.items()}
 
 
 def _set_lr(opt_state, lr: float):

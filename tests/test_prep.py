@@ -64,6 +64,54 @@ def test_int_to_chain_and_rename():
         af3_results.int_to_chain(62)
 
 
+def _make_many_chain_cif(n_chains: int) -> str:
+    """CIF with n_chains single-CA chains, label_asym_id A..Z, AA, AB, ..."""
+
+    def asym_id(i):
+        s = ""
+        i += 1
+        while i > 0:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    header = CIF_SAMPLE.split("ATOM 1")[0]
+    rows = []
+    for i in range(n_chains):
+        cid = asym_id(i)
+        rows.append(
+            f"ATOM {i+1} C CA . ALA {cid} {i+1} 1 1 {cid} "
+            f"{float(i):.3f} 0.000 0.000 1.00 50.00"
+        )
+    return header + "\n".join(rows) + "\n#\n"
+
+
+def test_cif_multichar_chain_ids_survive_and_rename():
+    """AF3 CIFs with >26 chains use multi-char asym IDs ("AA", "AB", ...);
+    they must stay distinct through parsing and be renamed into the 62-ID
+    space (reference: process_AF3_results.py:145-198)."""
+    n = 30
+    atoms = cif_io.parse_cif_atoms(_make_many_chain_cif(n))
+    assert len(atoms) == n
+    # distinct chains preserved by the parser (no premature truncation)
+    assert len(pdb_io.chains(atoms)) == n
+    assert "AA" in atoms["chain"] and "AD" in atoms["chain"]
+
+    mapping = af3_results.rename_chains(atoms)
+    renamed = pdb_io.chains(atoms)
+    assert len(renamed) == n
+    assert all(len(c) == 1 and c in pdb_io.CHAIN_IDS for c in renamed)
+    # single-char IDs already valid are preserved; multi-char got fresh IDs
+    assert mapping["A"] == "A"
+    assert len(set(mapping.values())) == n
+
+
+def test_cif_over_62_chains_raises():
+    atoms = cif_io.parse_cif_atoms(_make_many_chain_cif(63))
+    with pytest.raises(af3_results.OutOfChainsError):
+        af3_results.rename_chains(atoms)
+
+
 def test_process_af3_results(tmp_path):
     res_dir = tmp_path / "AF3_results"
     (res_dir / "prot1").mkdir(parents=True)

@@ -239,109 +239,172 @@ std::vector<CAChainFragment> read_ca_pdb(const std::string &path) {
 
 // ---------------------------------------------------------------------------
 // backbone building
+//
+// Interior peptide planes come from a statistical placement table indexed by
+// the local 4-CA-window geometry (r13a, r13b, chirality-signed r14) — the
+// same descriptor family as PULCHRA's binned fragment library
+// (pulchra.c:1582), but with our own binning/frame/layout; the table is
+// generated by calibrate_backbone.py (behavioral calibration against the
+// reference tool on synthetic traces).  Terminal peptides, which lack a full
+// window, fall back to ideal trans-peptide geometry continued from the first
+// placed interior plane.
 
-// Ideal trans-peptide positions of C(i) and N(i+1) relative to the
-// CA(i)->CA(i+1) axis (see derivation in repo docs): with CA(i) at the
-// origin and CA(i+1) at (d, 0), both C and N sit slightly off-axis on the
-// same side of the peptide plane.
-struct PeptideGeom {
-  double cx = 1.426, cy = 0.540;   // C(i)
-  double nx = 2.394, ny = 0.387;   // N(i+1)
+#include "backbone_table.h"
+
+// local frame of the peptide between p1 and p2 with p0 the preceding CA:
+// rows (u, e1, e2) — must match calibrate_backbone.window_frame.
+struct Frame {
+  Vec3 u, e1, e2;
+  Vec3 to_world(const Vec3 &origin, double x, double y, double z) const {
+    return origin + u * x + e1 * y + e2 * z;
+  }
 };
 
-// Build backbone for a fragment: for each peptide bond choose the plane
-// orientation angle that best continues the chain (scored by O(i)..N(i+3)
-// H-bond-like proximity and CA(i-1) avoidance), then place O.
+Frame window_frame(const Vec3 &p0, const Vec3 &p1, const Vec3 &p2) {
+  Frame f;
+  f.u = unit(p2 - p1);
+  Vec3 w = p0 - p1;
+  Vec3 e1 = w - f.u * dot(w, f.u);
+  if (norm(e1) < 1e-9) e1 = cross(f.u, Vec3(1, 0, 0));
+  if (norm(e1) < 1e-9) e1 = cross(f.u, Vec3(0, 1, 0));
+  f.e1 = unit(e1);
+  f.e2 = cross(f.u, f.e1);
+  return f;
+}
+
+// trilinear lookup of M local-frame coordinates from a binned table
+void table_lookup(const float *table, int M, double r13a, double r13b,
+                  double r14s, double *out) {
+  auto grid = [&](double v, double lo, double step, int n, int &i0,
+                  double &t) {
+    double g = (v - lo) / step - 0.5;  // bin-center aligned
+    if (g < 0) g = 0;
+    if (g > n - 1.001) g = n - 1.001;
+    i0 = (int)g;
+    t = g - i0;
+  };
+  int ia, ib, ic;
+  double ta, tb, tc;
+  grid(r13a, kR13Lo, kR13Step, kR13N, ia, ta);
+  grid(r13b, kR13Lo, kR13Step, kR13N, ib, tb);
+  grid(r14s, kR14Lo, kR14Step, kR14N, ic, tc);
+  for (int m = 0; m < M; ++m) out[m] = 0;
+  for (int da = 0; da < 2; ++da)
+    for (int db = 0; db < 2; ++db)
+      for (int dc = 0; dc < 2; ++dc) {
+        double w = (da ? ta : 1 - ta) * (db ? tb : 1 - tb) * (dc ? tc : 1 - tc);
+        const float *cell =
+            &table[(((ia + da) * kR13N + (ib + db)) * kR14N + (ic + dc)) * M];
+        for (int m = 0; m < M; ++m) out[m] += w * cell[m];
+      }
+}
+
+// chirality-signed r14 descriptors of a 4-CA window
+void window_desc(const Vec3 &p0, const Vec3 &p1, const Vec3 &p2,
+                 const Vec3 &p3, double &r13a, double &r13b, double &r14s) {
+  r13a = dist(p2, p0);
+  r13b = dist(p3, p1);
+  double r14 = dist(p3, p0);
+  double sign = dot(cross(p1 - p0, p2 - p1), p3 - p2);
+  r14s = sign >= 0 ? r14 : -r14;
+}
+
 void build_backbone(CAChainFragment &frag) {
-  const PeptideGeom g;
   size_t n = frag.residues.size();
   std::vector<Vec3> C(n), N(n), O(n);
-  std::vector<bool> hasC(n, false), hasN(n, false);
+  std::vector<bool> hasC(n, false), hasN(n, false), hasO(n, false);
 
-  for (size_t i = 0; i + 1 < n; ++i) {
-    Vec3 ca0 = frag.residues[i].ca;
-    Vec3 ca1 = frag.residues[i + 1].ca;
-    Vec3 u = unit(ca1 - ca0);
-    double d = dist(ca0, ca1);
-    // reference perpendicular: local curvature normal
-    Vec3 refv;
-    if (i > 0) {
-      refv = frag.residues[i - 1].ca - ca0;
-    } else if (i + 2 < n) {
-      refv = frag.residues[i + 2].ca - ca1;
-    } else {
-      refv = Vec3(0, 0, 1);
-    }
-    Vec3 p = refv - u * dot(refv, u);
-    if (norm(p) < 1e-6) p = cross(u, Vec3(1, 0, 0));
-    if (norm(p) < 1e-6) p = cross(u, Vec3(0, 1, 0));
-    Vec3 e1 = unit(p);
-    Vec3 e2 = unit(cross(u, e1));
-
-    // search the rotation of the peptide plane about the CA-CA axis
-    double best_score = -1e18;
-    Vec3 bestC, bestN;
-    double scale = d / 3.80;  // tolerate non-ideal CA spacing
-    for (int k = 0; k < 36; ++k) {
-      double th = k * 10.0 * M_PI / 180.0;
-      Vec3 dir = e1 * std::cos(th) + e2 * std::sin(th);
-      Vec3 pc = ca0 + u * (g.cx * scale) + dir * g.cy;
-      Vec3 pn = ca0 + u * (g.nx * scale) + dir * g.ny;
-      double score = 0;
-      // prefer carbonyl direction anti-parallel to local helix axis:
-      // approximate by pointing the plane normal away from CA(i-1) and
-      // CA(i+2) (avoids clashes, produces alternating planes on strands)
-      if (i > 0) score += dist(pc, frag.residues[i - 1].ca);
-      if (i + 2 < n) score += 0.5 * dist(pn, frag.residues[i + 2].ca);
-      // keep N-CA-C angle near ideal 111 deg at residue i
-      if (hasN[i]) {
-        Vec3 v1 = unit(N[i] - ca0), v2 = unit(pc - ca0);
-        double ang = std::acos(std::max(-1.0, std::min(1.0, dot(v1, v2)))) *
-                     180.0 / M_PI;
-        score -= std::fabs(ang - 111.0) * 0.2;
-      }
-      if (score > best_score) {
-        best_score = score;
-        bestC = pc;
-        bestN = pn;
-      }
-    }
-    C[i] = bestC;
-    hasC[i] = true;
-    N[i + 1] = bestN;
-    hasN[i + 1] = true;
+  // interior peptides i -> i+1 (need CA(i-1) and CA(i+2))
+  for (size_t i = 1; i + 2 < n; ++i) {
+    const Vec3 &p0 = frag.residues[i - 1].ca;
+    const Vec3 &p1 = frag.residues[i].ca;
+    const Vec3 &p2 = frag.residues[i + 1].ca;
+    const Vec3 &p3 = frag.residues[i + 2].ca;
+    double r13a, r13b, r14s;
+    window_desc(p0, p1, p2, p3, r13a, r13b, r14s);
+    double loc[9];
+    table_lookup(kBackboneTable, 9, r13a, r13b, r14s, loc);
+    Frame f = window_frame(p0, p1, p2);
+    C[i] = f.to_world(p1, loc[0], loc[1], loc[2]);
+    O[i] = f.to_world(p1, loc[3], loc[4], loc[5]);
+    N[i + 1] = f.to_world(p1, loc[6], loc[7], loc[8]);
+    hasC[i] = hasO[i] = hasN[i + 1] = true;
   }
 
-  // terminal N(0) and C(n-1) by extension
-  if (n >= 2) {
-    Vec3 u = unit(frag.residues[0].ca - frag.residues[1].ca);
-    N[0] = frag.residues[0].ca + u * 1.458;
-    if (hasC[0]) {
-      // keep the N-CA-C angle sane: rotate N around CA if needed
-      N[0] = nerf(C[0], frag.residues[1].ca, frag.residues[0].ca, 1.458, 111.0,
-                  150.0);
+  if (n >= 4) {
+    // head: N(0), C(0), O(0), N(1) from the head table over window CA0..CA3
+    {
+      const Vec3 &p0 = frag.residues[0].ca;
+      const Vec3 &p1 = frag.residues[1].ca;
+      const Vec3 &p2 = frag.residues[2].ca;
+      const Vec3 &p3 = frag.residues[3].ca;
+      double r13a, r13b, r14s;
+      window_desc(p0, p1, p2, p3, r13a, r13b, r14s);
+      double loc[12];
+      table_lookup(kHeadTable, 12, r13a, r13b, r14s, loc);
+      Frame f = window_frame(p2, p0, p1);  // origin CA0, u to CA1, e1 via CA2
+      N[0] = f.to_world(p0, loc[0], loc[1], loc[2]);
+      C[0] = f.to_world(p0, loc[3], loc[4], loc[5]);
+      O[0] = f.to_world(p0, loc[6], loc[7], loc[8]);
+      N[1] = f.to_world(p0, loc[9], loc[10], loc[11]);
+      hasN[0] = hasC[0] = hasO[0] = hasN[1] = true;
     }
-    hasN[0] = true;
-    size_t l = n - 1;
-    if (hasN[l]) {
-      C[l] = nerf(frag.residues[l - 1].ca, N[l], frag.residues[l].ca, 1.525,
-                  111.0, -120.0);
-    } else {
-      C[l] = frag.residues[l].ca + Vec3(1.525, 0, 0);
+    // tail: C(l-1), O(l-1), N(l), C(l), O(l) from the tail table
+    {
+      size_t l = n - 1;
+      const Vec3 &q0 = frag.residues[l - 3].ca;
+      const Vec3 &q1 = frag.residues[l - 2].ca;
+      const Vec3 &q2 = frag.residues[l - 1].ca;
+      const Vec3 &q3 = frag.residues[l].ca;
+      double r13a, r13b, r14s;
+      window_desc(q0, q1, q2, q3, r13a, r13b, r14s);
+      double loc[15];
+      table_lookup(kTailTable, 15, r13a, r13b, r14s, loc);
+      Frame f = window_frame(q1, q2, q3);  // origin CA(l-1), u to CA(l)
+      C[l - 1] = f.to_world(q2, loc[0], loc[1], loc[2]);
+      O[l - 1] = f.to_world(q2, loc[3], loc[4], loc[5]);
+      N[l] = f.to_world(q2, loc[6], loc[7], loc[8]);
+      C[l] = f.to_world(q2, loc[9], loc[10], loc[11]);
+      O[l] = f.to_world(q2, loc[12], loc[13], loc[14]);
+      hasC[l - 1] = hasO[l - 1] = hasN[l] = hasC[l] = hasO[l] = true;
     }
-    hasC[l] = true;
-  } else if (n == 1) {
-    N[0] = frag.residues[0].ca + Vec3(-1.458, 0, 0);
-    C[0] = frag.residues[0].ca + Vec3(1.525, 0, 0);
-    hasN[0] = hasC[0] = true;
-  }
-
-  // carbonyl O: in the peptide plane, opposite the next N
-  for (size_t i = 0; i < n; ++i) {
-    if (i + 1 < n) {
-      O[i] = nerf(frag.residues[i].ca, N[i + 1], C[i], 1.231, 120.5, 180.0);
-    } else {
-      O[i] = nerf(N[i], frag.residues[i].ca, C[i], 1.231, 120.5, 0.0);
+  } else {
+    // short fragments (<4 CA): ideal-geometry fallback
+    for (size_t i = 0; i + 1 < n; ++i) {
+      Vec3 ca0 = frag.residues[i].ca;
+      Vec3 ca1 = frag.residues[i + 1].ca;
+      Vec3 u = unit(ca1 - ca0);
+      Vec3 refv = (i + 2 < n) ? frag.residues[i + 2].ca - ca1 : Vec3(0, 0, 1);
+      Vec3 p = refv - u * dot(refv, u);
+      if (norm(p) < 1e-6) p = cross(u, Vec3(1, 0, 0));
+      Vec3 e1 = unit(p);
+      C[i] = ca0 + u * 1.426 + e1 * 0.540;
+      N[i + 1] = ca0 + u * 2.394 + e1 * 0.387;
+      hasC[i] = true;
+      hasN[i + 1] = true;
+    }
+    if (n >= 2) {
+      Vec3 u = unit(frag.residues[0].ca - frag.residues[1].ca);
+      N[0] = frag.residues[0].ca + u * 1.458;
+      hasN[0] = true;
+      size_t l = n - 1;
+      C[l] = hasN[l] ? nerf(frag.residues[l - 1].ca, N[l],
+                            frag.residues[l].ca, 1.525, 111.0, -120.0)
+                     : frag.residues[l].ca + Vec3(1.525, 0, 0);
+      hasC[l] = true;
+    } else if (n == 1) {
+      N[0] = frag.residues[0].ca + Vec3(-1.458, 0, 0);
+      C[0] = frag.residues[0].ca + Vec3(1.525, 0, 0);
+      hasN[0] = hasC[0] = true;
+    }
+    for (size_t i = 0; i < n; ++i) {
+      if (hasO[i]) continue;
+      if (i + 1 < n && hasN[i + 1]) {
+        O[i] = nerf(frag.residues[i].ca, N[i + 1], C[i], 1.231, 120.5, 180.0);
+      } else {
+        O[i] = nerf(N[i], frag.residues[i].ca, C[i], 1.231, 120.5, 0.0);
+      }
+      hasO[i] = true;
     }
   }
 
@@ -357,28 +420,169 @@ void build_backbone(CAChainFragment &frag) {
 // ---------------------------------------------------------------------------
 // side chains
 
+const char *kAA3[20] = {"ALA", "CYS", "ASP", "GLU", "PHE", "GLY", "HIS",
+                        "ILE", "LYS", "LEU", "MET", "ASN", "PRO", "GLN",
+                        "ARG", "SER", "THR", "VAL", "TRP", "TYR"};
+
+int aa_index(const std::string &res) {
+  for (int i = 0; i < 20; ++i)
+    if (res == kAA3[i]) return i;
+  return -1;
+}
+
+// chi1-defining gamma atom per residue (dihedral N-CA-CB-<gamma>)
+const std::map<std::string, std::string> &gamma_atom() {
+  static const std::map<std::string, std::string> g = {
+      {"SER", "OG"},  {"CYS", "SG"},  {"THR", "OG1"}, {"VAL", "CG1"},
+      {"ILE", "CG1"}, {"LEU", "CG"},  {"MET", "CG"},  {"PRO", "CG"},
+      {"PHE", "CG"},  {"TYR", "CG"},  {"TRP", "CG"},  {"ASP", "CG"},
+      {"ASN", "CG"},  {"GLU", "CG"},  {"GLN", "CG"},  {"LYS", "CG"},
+      {"ARG", "CG"},  {"HIS", "CG"}};
+  return g;
+}
+
+// chi2-defining delta atom per residue (dihedral CA-CB-<gamma>-<delta>)
+const std::map<std::string, std::string> &delta_atom() {
+  static const std::map<std::string, std::string> d = {
+      {"ILE", "CD1"}, {"LEU", "CD1"}, {"MET", "SD"},  {"PHE", "CD1"},
+      {"TYR", "CD1"}, {"TRP", "CD1"}, {"ASP", "OD1"}, {"ASN", "OD1"},
+      {"GLU", "CD"},  {"GLN", "CD"},  {"LYS", "CD"},  {"ARG", "CD"},
+      {"HIS", "ND1"}, {"PRO", "CD"}};
+  return d;
+}
+
+double wrap_deg(double a) {
+  while (a > 180) a -= 360;
+  while (a < -180) a += 360;
+  return a;
+}
+
+double dihedral_deg(const Vec3 &p0, const Vec3 &p1, const Vec3 &p2,
+                    const Vec3 &p3) {
+  Vec3 b1 = p1 - p0, b2 = p2 - p1, b3 = p3 - p2;
+  Vec3 n1 = cross(b1, b2), n2 = cross(b2, b3);
+  Vec3 m = cross(n1, unit(b2));
+  return std::atan2(dot(m, n2), dot(n1, n2)) * 180.0 / M_PI;
+}
+
+// phi/psi-dependent chi lookup (tables calibrated against the reference
+// tool's rotamer choices — the counterpart of PULCHRA's backbone-dependent
+// rotamer library, pulchra.c:1818-1933)
+double chi_from_table(const float *table, int ai, double phi, double psi) {
+  int pi = (int)((phi + 180.0) / 30.0);
+  int si = (int)((psi + 180.0) / 30.0);
+  pi = std::min(std::max(pi, 0), kPhiN - 1);
+  si = std::min(std::max(si, 0), kPhiN - 1);
+  return table[(ai * kPhiN + pi) * kPhiN + si];
+}
+
 void build_sidechains(CAChainFragment &frag) {
   const auto &table = sidechain_table();
-  for (Residue &r : frag.residues) {
+  size_t n = frag.residues.size();
+  for (size_t ri = 0; ri < n; ++ri) {
+    Residue &r = frag.residues[ri];
     std::unordered_map<std::string, Vec3> pos;
     for (const Atom &a : r.atoms) pos[a.name] = a.pos;
     if (r.res_name == "GLY") continue;
-    // CB: ideal L-amino-acid tetrahedral geometry
-    Vec3 cb = nerf(pos["C"], pos["N"], pos["CA"], 1.530, 110.4, 122.55);
+    // CB: ideal L-amino-acid tetrahedral geometry.  The improper dihedral
+    // N-C-CA-CB must come out ~ +123 deg (L); -122.55 here by the
+    // nerf(a=C, b=N, c=CA) convention (dihedral measured C->N->CA->CB).
+    Vec3 cb = nerf(pos["C"], pos["N"], pos["CA"], 1.530, 110.4, -122.55);
     pos["CB"] = cb;
     r.atoms.push_back({"CB", cb, 'C'});
 
     auto it = table.find(r.res_name);
     if (it == table.end()) continue;
+
+    // backbone-dependent rotamer: shift the gamma-level (chi1) and
+    // delta-level (chi2) dihedrals of the IC table toward the calibrated
+    // (phi, psi)-binned values
+    double d1 = 0, d2 = 0;
+    int ai = aa_index(r.res_name);
+    auto git = gamma_atom().find(r.res_name);
+    if (ai >= 0 && git != gamma_atom().end() && ri > 0 && ri + 1 < n) {
+      // phi needs C(i-1); psi needs N(i+1)
+      const Vec3 *prevC = nullptr, *nextN = nullptr;
+      for (const Atom &a : frag.residues[ri - 1].atoms)
+        if (a.name == "C") prevC = &a.pos;
+      for (const Atom &a : frag.residues[ri + 1].atoms)
+        if (a.name == "N") nextN = &a.pos;
+      if (prevC && nextN) {
+        double phi = dihedral_deg(*prevC, pos["N"], pos["CA"], pos["C"]);
+        double psi = dihedral_deg(pos["N"], pos["CA"], pos["C"], *nextN);
+        double chi1_def = 0, chi2_def = 0;
+        bool has2 = false;
+        auto dit = delta_atom().find(r.res_name);
+        for (const IC &ic : it->second) {
+          if (ic.atom == git->second) chi1_def = ic.dihedral;
+          if (dit != delta_atom().end() && ic.atom == dit->second) {
+            chi2_def = ic.dihedral;
+            has2 = true;
+          }
+        }
+        // table angles are in the measuring convention of dihedral_deg,
+        // which is the NEGATIVE of nerf's dihedral argument (verified
+        // numerically) — negate when converting to IC-table shifts
+        d1 = wrap_deg(-chi_from_table(kChi1Table, ai, phi, psi) - chi1_def);
+        if (has2) {
+          d2 = wrap_deg(-chi_from_table(kChi2Table, ai, phi, psi) - chi2_def);
+          if (r.res_name == "PHE" || r.res_name == "TYR") {
+            // ring-flip symmetry: fold the shift into (-90, 90]
+            if (d2 > 90) d2 -= 180;
+            if (d2 < -90) d2 += 180;
+          }
+        }
+      }
+    }
+
     for (const IC &ic : it->second) {
       auto pa = pos.find(ic.a), pb = pos.find(ic.b), pc = pos.find(ic.c);
       if (pa == pos.end() || pb == pos.end() || pc == pos.end()) continue;
+      double dih = ic.dihedral;
+      if (std::strcmp(ic.c, "CB") == 0) dih = wrap_deg(dih + d1);
+      else if (std::strcmp(ic.b, "CB") == 0) dih = wrap_deg(dih + d2);
       Vec3 p = nerf(pa->second, pb->second, pc->second, ic.bond, ic.angle,
-                    ic.dihedral);
+                    dih);
       pos[ic.atom] = p;
       r.atoms.push_back({ic.atom, p, element_of(ic.atom)});
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// chirality check/fix: every residue must be L (improper dihedral
+// N->C->CA->CB ~ +123 deg).  D residues get their entire side chain
+// reflected through the N/CA/C plane (counterpart of pulchra.c:2648).
+
+int chirality_fix(std::vector<CAChainFragment> &frags) {
+  int fixed = 0;
+  for (auto &f : frags) {
+    for (auto &r : f.residues) {
+      Vec3 N, CA, C, CB;
+      bool hasCB = false;
+      for (const Atom &a : r.atoms) {
+        if (a.name == "N") N = a.pos;
+        else if (a.name == "CA") CA = a.pos;
+        else if (a.name == "C") C = a.pos;
+        else if (a.name == "CB") { CB = a.pos; hasCB = true; }
+      }
+      if (!hasCB) continue;
+      // under dihedral_deg's sign convention the L improper N->C->CA->CB
+      // is ~ -123 deg (PULCHRA golden measures -124.9 +- 13)
+      double imp = dihedral_deg(N, C, CA, CB);
+      if (imp < 0) continue;  // L — correct
+      Vec3 nrm = unit(cross(N - CA, C - CA));
+      for (Atom &a : r.atoms) {
+        if (a.name == "N" || a.name == "CA" || a.name == "C" ||
+            a.name == "O")
+          continue;
+        double h = dot(a.pos - CA, nrm);
+        a.pos = a.pos - nrm * (2.0 * h);
+      }
+      ++fixed;
+    }
+  }
+  return fixed;
 }
 
 // ---------------------------------------------------------------------------
@@ -499,9 +703,10 @@ int main(int argc, char **argv) {
     build_sidechains(f);
     total += f.residues.size();
   }
+  int d_fixed = chirality_fix(frags);
   relax_clashes(frags);
   write_pdb(frags, argv[2]);
   std::cerr << "rebuilt " << total << " residues in " << frags.size()
-            << " fragments\n";
+            << " fragments (" << d_fixed << " chirality fixes)\n";
   return 0;
 }

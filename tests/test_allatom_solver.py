@@ -150,3 +150,81 @@ def test_solver_end_to_end(tmp_path):
 
     # time cost CSV written
     assert "gapFilling" in (tmp_path / "out" / solver.time_log.split("/")[-1]).read_text()
+
+
+# ---------------------------------------------------------------------------
+# golden comparison against the reference PULCHRA binary (shipped, static)
+
+_PULCHRA_BIN = "/root/reference/modules/pulchra304/bin/linux/pulchra"
+_PULCHRA_EXAMPLE = "/root/reference/modules/pulchra304/examples/model.pdb"
+
+
+def _rmsd_by_atom(a, b, names):
+    am = {(int(r), str(n)): (x, y, z) for r, n, x, y, z in
+          zip(a["res_id"], a["name"], a["x"], a["y"], a["z"])}
+    bm = {(int(r), str(n)): (x, y, z) for r, n, x, y, z in
+          zip(b["res_id"], b["name"], b["x"], b["y"], b["z"])}
+    common = [k for k in am if k in bm and k[1] in names]
+    d = np.array([np.subtract(am[k], bm[k]) for k in common])
+    return float(np.sqrt((d ** 2).sum(axis=1).mean())), len(common)
+
+
+def _clash_count(atoms, thr=2.2):
+    from scipy.spatial import cKDTree
+
+    xyz = pdb_io.coords(atoms)
+    rid = atoms["res_id"]
+    tree = cKDTree(xyz)
+    return sum(1 for i, j in tree.query_pairs(thr)
+               if abs(int(rid[i]) - int(rid[j])) > 1)
+
+
+@pytest.mark.skipif(
+    not (__import__("pathlib").Path(_PULCHRA_BIN).exists()
+         and __import__("pathlib").Path(_PULCHRA_EXAMPLE).exists()),
+    reason="reference PULCHRA binary/example not available",
+)
+def test_allatom_golden_vs_pulchra(tmp_path):
+    """Behavioral parity vs the reference tool on its own example:
+    backbone N/C/O RMSD < 0.5 A, all L residues, clashes <= PULCHRA's."""
+    import shutil
+    import subprocess
+
+    binary = tmp_path / "pulchra"
+    shutil.copy(_PULCHRA_BIN, binary)
+    binary.chmod(0o755)
+    model = tmp_path / "model.pdb"
+    shutil.copy(_PULCHRA_EXAMPLE, model)
+    # -c (skip CA optimization) is how the reference pipeline invokes it
+    # (modeler.py:371)
+    r = subprocess.run([str(binary), "-c", str(model)], capture_output=True)
+    assert r.returncode == 0
+    gold = pdb_io.parse_pdb(tmp_path / "model.rebuilt.pdb")
+
+    out = allatom.rebuild_ca_model(str(model), str(tmp_path / "ours.pdb"))
+    ours = pdb_io.parse_pdb(out)
+
+    bb_rmsd, n_bb = _rmsd_by_atom(ours, gold, ("N", "C", "O"))
+    assert n_bb > 600
+    assert bb_rmsd < 0.5, f"backbone RMSD vs PULCHRA {bb_rmsd:.3f}"
+    cb_rmsd, _ = _rmsd_by_atom(ours, gold, ("CB",))
+    assert cb_rmsd < 0.8, f"CB RMSD vs PULCHRA {cb_rmsd:.3f}"
+    assert _clash_count(ours) <= _clash_count(gold)
+
+    # zero D-residues: improper dihedral sign consistent and L-handed
+    coords = pdb_io.coords(ours)
+    by = {}
+    for a, c in zip(ours, coords):
+        by[(int(a["res_id"]), str(a["name"]))] = c
+
+    def improper(p0, p1, p2, p3):
+        b0, b1, b2 = p1 - p0, p2 - p1, p3 - p2
+        b1 /= np.linalg.norm(b1)
+        v = b0 - np.dot(b0, b1) * b1
+        w = b2 - np.dot(b2, b1) * b1
+        return np.degrees(np.arctan2(np.dot(np.cross(b1, v), w), np.dot(v, w)))
+
+    vals = [improper(by[(i, "N")], by[(i, "CA")], by[(i, "C")], by[(i, "CB")])
+            for i in np.unique(ours["res_id"]) if (i, "CB") in by]
+    vals = np.asarray(vals)
+    assert (np.sign(vals) == np.sign(vals[0])).all(), "mixed chirality"

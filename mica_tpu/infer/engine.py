@@ -268,6 +268,7 @@ class SlidingWindowPredictor:
         volume: np.ndarray,
         af_encoding: Optional[np.ndarray] = None,
         keep_on_device: bool = False,
+        dump_windows_dir: Optional[str] = None,
     ) -> Dict[str, np.ndarray]:
         """Predict BB/CA/AA volumes for a normalized ``volume[x,y,z]``.
 
@@ -349,12 +350,35 @@ class SlidingWindowPredictor:
         model_step = self._build_model_step(with_af)
         self.timing["setup"] = time.time() - t0
 
+        dump_dir = None
+        if dump_windows_dir is not None:
+            import pathlib
+
+            dump_dir = pathlib.Path(dump_windows_dir)
+            dump_dir.mkdir(parents=True, exist_ok=True)
+
+        def dump(cores, batch_starts, n_valid):
+            # per-window npz artifacts for debugging / parity triage
+            # (reference analog: per-grid npz writes, predict.py:353-371)
+            bb_c, ca_c, aa_c = (np.asarray(c) for c in cores)
+            for b in range(n_valid):
+                s = batch_starts[b]
+                name = f"win_i{int(s[0])}_j{int(s[1])}_k{int(s[2])}.npz"
+                np.savez_compressed(
+                    dump_dir / name,
+                    backbone=bb_c[b], carbon_alpha=ca_c[b],
+                    amino_acid=aa_c[b], start=np.asarray(s),
+                )
+
         t1 = time.time()
         for ofs in range(0, starts.shape[0], bsz):
             batch = jnp.asarray(starts[ofs : ofs + bsz])
             wins, afs = gather(padded_map, padded_af, batch)
             cores = model_step(self.params, wins, afs)
             vols = scatter(vols, cores, batch)
+            if dump_dir is not None:
+                n_valid = max(0, min(bsz, (starts.shape[0] - n_pad) - ofs))
+                dump(cores, starts[ofs : ofs + bsz], n_valid)
 
         if len(empty_starts):
             # one forward on the all-zero window, broadcast into every

@@ -121,11 +121,18 @@ def predict_map(
     batch_size: int = 0,
     dtype=None,
     mesh=None,
+    base_filters: int = 64,
+    core: int = 48,
+    halo: int = 8,
+    dump_windows_dir: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """End-to-end: map file (+ optional docked AF3 model) -> prediction volumes.
 
     ``batch_size=0`` derives the batch from device memory (the reference's
-    memory heuristic, predict.py:149-174)."""
+    memory heuristic, predict.py:149-174).  ``dump_windows_dir`` writes one
+    ``.npz`` per window with the post-processed core blocks — a debugging /
+    parity-triage aid mirroring the reference's per-grid artifacts
+    (predict.py:353-371)."""
     import jax.numpy as jnp
 
     from .engine import auto_batch_size
@@ -140,8 +147,13 @@ def predict_map(
         batch_size=batch_size or auto_batch_size(),
         dtype=dtype if dtype is not None else jnp.bfloat16,
         mesh=mesh,
+        base_filters=base_filters,
+        core=core,
+        halo=halo,
     )
-    out = predictor.predict_volume(prepared.volume, encoding)
+    out = predictor.predict_volume(
+        prepared.volume, encoding, dump_windows_dir=dump_windows_dir
+    )
     out["prepared_map"] = prepared
     out["timing"] = dict(predictor.timing)
     return out

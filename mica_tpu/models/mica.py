@@ -184,11 +184,13 @@ class MultiScaleInput(nn.Module):
             _StemConv(k, self.base // 2, name=f"exp_conv{i}")()
             for i, k in enumerate((3, 5, 7, 9))
         ]
-        # one patch matmul replaces the four Cin=1 convs (ops/conv_fast.py)
+        # one fused patch matmul replaces the four Cin=1 convs: Pallas
+        # kernel at inference, XLA formulation under training (grad path)
         x_exp = multiscale_stem_conv(
             exp_map,
             [p[0] for p in stem_params],
             [p[1] for p in stem_params],
+            allow_pallas=not train,
         )  # 2*base channels
 
         # SE-style attention over the multi-scale features

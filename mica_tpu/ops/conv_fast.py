@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +64,7 @@ def multiscale_stem_conv(
     kernels: Sequence[jnp.ndarray],
     biases: Sequence[jnp.ndarray],
     compute_dtype=None,
+    allow_pallas: bool = True,
 ) -> jnp.ndarray:
     """Fused multi-scale Cin=1 convs: x (B,D,H,W,1) -> (B,D,H,W, sum(Cout)).
 
@@ -71,6 +73,11 @@ def multiscale_stem_conv(
     tensor is kept at (..., k*k) so its trailing dim maps onto the 128-lane
     axis without the catastrophic (k,k,k) tiling blowup a naive 7-D layout
     incurs (3.6x padding at k=9 -> HBM OOM).
+
+    On TPU the whole thing runs as a fused Pallas kernel
+    (ops/stem_pallas.py) — patch build + contraction stay in VMEM —
+    unless ``allow_pallas`` is False (training path: the Pallas kernel has
+    no VJP, the XLA formulation differentiates fine).
     """
     k_max = max(k.shape[0] for k in kernels)
     dt = compute_dtype or x.dtype
@@ -84,6 +91,18 @@ def multiscale_stem_conv(
     bias = jnp.concatenate([b for b in biases], axis=-1)
 
     xin = x[..., 0].astype(dt)
+
+    import os
+
+    if (allow_pallas and k_max == 9 and jax.default_backend() == "tpu"
+            and os.environ.get("MICA_PALLAS_STEM") == "1"):
+        # Opt-in only: measured SLOWER than the XLA formulation on v5e
+        # (141 ms vs 68 ms at batch 8 / 64-cube) — the 729 per-program
+        # patch-column relayouts dominate.  Kept as a correct, tested
+        # Pallas kernel and a baseline for future Mosaic improvements.
+        from .stem_pallas import stem_conv_pallas
+
+        return stem_conv_pallas(xin, combined, bias.astype(dt))
     b_, d, h, w = xin.shape
     half = k_max // 2
     xp = jnp.pad(xin, ((0, 0), (half, half), (0, 0), (0, 0)))

@@ -133,13 +133,27 @@ def process_af3_results(af3_results_dir: str,
     }
 
 
+def find_merizo_weights() -> str | None:
+    """Locate merizo weight shards: $MICA_MERIZO_WEIGHTS, or a
+    ``merizo_weights/`` directory next to the package (the reference ships
+    shards at modules/merizo/weights/, predict.py:123-146)."""
+    import os
+
+    for cand in (os.environ.get("MICA_MERIZO_WEIGHTS"),
+                 str(Path(__file__).resolve().parents[2] / "merizo_weights")):
+        if cand and Path(cand).is_dir() and list(Path(cand).glob("*.pt")):
+            return cand
+    return None
+
+
 def split_chain_into_domains(chain_pdb: str, out_dir: str,
                              min_domain_size: int = 50) -> List[str]:
     """Split one chain PDB into per-domain PDBs.
 
-    Uses the learned segmenter when weights are available; otherwise a
-    geometric contact-map partitioner (see
-    mica_tpu.models.segmenter.segment_domains).
+    Uses the learned Merizo network when weight shards are available
+    (mica_tpu.models.merizo — torch shard loader + flax net, with
+    CONF_THRESHOLD gating); otherwise the geometric contact-map
+    partitioner (mica_tpu.models.segmenter.segment_domains).
     """
     from ..models.segmenter import segment_chain_pdb
 
@@ -151,12 +165,35 @@ def split_chain_into_domains(chain_pdb: str, out_dir: str,
         pdb_io.write_pdb(out, atoms)
         return [str(out)]
 
-    domain_ids = segment_chain_pdb(atoms, min_domain_size=min_domain_size)
+    weights_dir = find_merizo_weights()
+    seg_res_ids = ca["res_id"].astype(np.int64)
+    domain_ids = None
+    if weights_dir is not None:
+        from ..models import merizo
+
+        try:
+            # NOTE: no hard confidence gate by default — the reference's
+            # CONF_THRESHOLD branch is disabled in its own driver
+            # (predict.py:72-76 cond2 commented out; conf_filter=None);
+            # callers can gate via merizo.segment_chain_atoms directly.
+            ids, mz_res_ids = merizo.segment_chain_atoms(atoms, weights_dir)
+            if (ids > 0).any():
+                # merizo ids: 0 = background -> excluded; shift to 0-based
+                domain_ids = ids.astype(np.int64) - 1
+                seg_res_ids = mz_res_ids
+            else:
+                logger.warning(
+                    "learned segmenter found no domains; using geometric")
+        except Exception as e:
+            logger.warning("learned segmenter failed (%s); using geometric",
+                           e)
+    if domain_ids is None:
+        domain_ids = segment_chain_pdb(atoms, min_domain_size=min_domain_size)
     outs = []
     for dom in np.unique(domain_ids):
         if dom < 0:
             continue
-        res_ids = set(ca["res_id"][domain_ids == dom].tolist())
+        res_ids = set(seg_res_ids[domain_ids == dom].tolist())
         sel = atoms[np.isin(atoms["res_id"], list(res_ids))]
         out = Path(out_dir) / (Path(chain_pdb).stem + f"_domain_{int(dom)}.pdb")
         pdb_io.write_pdb(out, sel)

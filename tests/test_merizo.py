@@ -1,0 +1,232 @@
+"""Parity of the flax Merizo vs the reference torch implementation.
+
+The reference torch network (modules/merizo/) is used as a test oracle with
+random weights (its trained shards are absent from the snapshot —
+.MISSING_LARGE_BLOBS); rotary_embedding_torch is not installed, so the
+sibling stub module provides lucidrains' semantics for the torch side.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+MERIZO_REF = Path("/root/reference/modules/merizo")
+pytestmark = pytest.mark.skipif(
+    not MERIZO_REF.exists(), reason="reference merizo not available"
+)
+
+torch = pytest.importorskip("torch")
+
+# the stub must be importable as `rotary_embedding_torch` before the
+# reference modules load
+import rotary_embedding_torch  # noqa: F401, E402 (tests/ sibling stub)
+
+sys.modules.setdefault("rotary_embedding_torch",
+                       sys.modules["rotary_embedding_torch"])
+# natsort is imported (unused on our path) by merizo's utils — tiny stub
+if "natsort" not in sys.modules:
+    import types
+
+    natsort = types.ModuleType("natsort")
+    natsort.natsorted = sorted
+    sys.modules["natsort"] = natsort
+sys.path.insert(0, str(MERIZO_REF))
+
+from mica_tpu.models import merizo as jmz  # noqa: E402
+
+
+def _synthetic_features(n=70, seed=0):
+    """Protein-like CA trace + N/C atoms for frames."""
+    rng = np.random.default_rng(seed)
+    # helix-ish CA walk
+    t = np.arange(n) * (100.0 * np.pi / 180.0)
+    ca = np.stack([2.3 * np.cos(t), 2.3 * np.sin(t), 1.5 * np.arange(n)], 1)
+    ca += rng.normal(0, 0.2, ca.shape)
+    # N and C offset from CA
+    n_xyz = ca + rng.normal([-1.2, 0.3, -0.5], 0.05, ca.shape)
+    c_xyz = ca + rng.normal([1.2, -0.4, 0.4], 0.05, ca.shape)
+    aa = rng.integers(0, 20, n)
+    onehot = np.zeros((n, 20), np.float32)
+    onehot[np.arange(n), aa] = 1.0
+    dist = np.linalg.norm(ca[:, None] - ca[None], axis=-1).astype(np.float32)
+    rot, trans = jmz.gram_schmidt_frames(n_xyz, ca, c_xyz)
+    ri = np.arange(1, n + 1, dtype=np.float32)
+    return {
+        "s": onehot, "z": dist, "rot": rot.astype(np.float32),
+        "trans": trans.astype(np.float32), "ri": ri,
+        "ca_xyz": ca,
+    }
+
+
+@pytest.fixture(scope="module")
+def torch_merizo():
+    from model.network import Merizo as TorchMerizo
+
+    torch.manual_seed(0)
+    m = TorchMerizo()
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def jax_params(torch_merizo):
+    sd = {k: v.detach().numpy() for k, v in torch_merizo.state_dict().items()}
+    return jmz.torch_state_dict_to_params(sd)
+
+
+def test_merizo_forward_parity(torch_merizo, jax_params):
+    feats = _synthetic_features(n=70)
+
+    tfeats = {
+        "s": torch.from_numpy(feats["s"]).unsqueeze(0),
+        "z": torch.from_numpy(feats["z"]).unsqueeze(0).unsqueeze(-1),
+        "r": torch.from_numpy(feats["rot"]).unsqueeze(0),
+        "t": torch.from_numpy(feats["trans"]).unsqueeze(0),
+        "ri": torch.from_numpy(feats["ri"]).unsqueeze(0),
+    }
+    with torch.no_grad():
+        t_ids, t_conf = torch_merizo(tfeats)
+    t_ids = t_ids.numpy()
+    t_conf = t_conf.numpy()
+
+    masks, bg = jmz._forward(jax_params, feats)
+    j_ids = jmz.postprocess_masks(masks, bg).astype(np.int64)
+    j_conf = jmz.domain_confidences(jax_params, masks, j_ids)
+
+    agree = float(np.mean(t_ids == j_ids))
+    assert agree >= 0.99, f"domain-id agreement {agree}\n{t_ids}\n{j_ids}"
+    np.testing.assert_allclose(j_conf, t_conf, atol=5e-3)
+
+
+def test_split_weight_roundtrip(tmp_path, torch_merizo):
+    """read_split_weight_files: shards merge back to the full state dict
+    (predict.py:123-146 semantics)."""
+    sd = torch_merizo.state_dict()
+    keys = list(sd.keys())
+    thirds = [keys[i::3] for i in range(3)]
+    for i, part in enumerate(thirds):
+        torch.save({k: sd[k] for k in part},
+                   tmp_path / f"weights_part_{i}.pt")
+    merged = jmz.read_split_weight_files(str(tmp_path))
+    assert set(merged) == set(keys)
+    params = jmz.torch_state_dict_to_params(merged)
+    assert "merizo" in params and "confidence" in params
+
+
+def test_segment_runs_and_iterates(jax_params):
+    """segment(): full protocol incl. the >2*DOM_AVE iterative split path
+    (predict.py:40-120) runs end-to-end on a 420-residue chain."""
+    feats = _synthetic_features(n=420, seed=3)
+    ids, conf = jmz.segment(jax_params, feats, iterate=True,
+                            max_iterations=1)
+    assert ids.shape == (420,)
+    assert conf.shape == (420,)
+    assert (conf >= 0).all() and (conf <= 1).all()
+    # remapped ids: contiguous from 1 (0 = background)
+    uniq = np.unique(ids[ids != 0])
+    assert list(uniq) == list(range(1, len(uniq) + 1))
+
+
+def test_cleanup_helpers():
+    ids = np.array([1] * 60 + [2] * 5 + [1] * 60)
+    out = jmz.clean_domains(ids.copy(), 50)
+    assert (out != 2).all()
+
+    ids = np.array([3] * 4 + [1] * 40 + [2] * 3 + [1] * 40)
+    out = jmz.clean_singletons(ids.copy(), 10)
+    assert (out[:4] == 1).all()       # short N-terminus assimilated
+    assert (out[44:47] != 3).all()    # internal singleton split
+
+    # spatially split domain -> separate components
+    ca = np.zeros((20, 3))
+    ca[:10, 0] = np.arange(10) * 3.0
+    ca[10:, 0] = 100 + np.arange(10) * 3.0
+    ids = np.ones(20, np.int64)
+    out = jmz.separate_components(ids, ca)
+    assert len(np.unique(out)) == 2
+
+    assert list(jmz.remap_ids(np.array([0, 7, 7, 3, 3, 0]))) == [
+        0, 1, 1, 2, 2, 0
+    ]
+
+
+def test_learned_path_end_to_end(tmp_path, torch_merizo, monkeypatch):
+    """split_chain_into_domains drives the learned path from a weights
+    directory (split shards -> loader -> flax net -> domain PDB files)."""
+    from mica_tpu.io import pdb as pdb_io
+    from mica_tpu.prep import af3_results
+
+    # save random torch weights as split shards
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    sd = torch_merizo.state_dict()
+    keys = list(sd.keys())
+    for i in range(3):
+        torch.save({k: sd[k] for k in keys[i::3]},
+                   wdir / f"weights_part_{i}.pt")
+    monkeypatch.setenv("MICA_MERIZO_WEIGHTS", str(wdir))
+
+    # build a chain PDB with N/CA/C per residue
+    feats = _synthetic_features(n=80, seed=1)
+    lines = []
+    serial = 1
+    rng = np.random.default_rng(0)
+    for i in range(80):
+        ca = feats["ca_xyz"][i]
+        for name, ofs in (("N", [-1.2, 0.3, -0.5]), ("CA", [0, 0, 0]),
+                          ("C", [1.2, -0.4, 0.4])):
+            lines.append(pdb_io.format_atom_line(
+                serial, name, "ALA", "A", i + 1, ca + np.asarray(ofs),
+                element=name[0]))
+            serial += 1
+    chain = tmp_path / "chain_A.pdb"
+    chain.write_text("\n".join(lines) + "\nEND\n")
+
+    outs = af3_results.split_chain_into_domains(str(chain), str(tmp_path),
+                                                min_domain_size=20)
+    assert outs, "no domain files written"
+    total = sum(len(pdb_io.select(pdb_io.parse_pdb(o), name="CA"))
+                for o in outs)
+    assert 0 < total <= 80
+
+
+def test_geometric_fallback_scenarios():
+    """Geometric segmenter on multi-domain ground truth: two domains with
+    sparse/denser linkers, three domains, and a real PDB-derived case."""
+    from synthetic import make_chain
+
+    from mica_tpu.models import segmenter
+
+    # (a) two domains, short sparse linker
+    d1 = make_chain(70, (64, 64, 64), 0)
+    d2 = make_chain(70, (64, 64, 64), 7) + np.array([40.0, 0, 0])
+    labels = segmenter.segment_domains(np.concatenate([d1, d2]))
+    assert len(np.unique(labels)) == 2
+    assert labels[:60].std() == 0 and labels[80:].std() == 0
+
+    # (b) three domains in a row
+    d3 = make_chain(70, (64, 64, 64), 11) + np.array([80.0, 0, 0])
+    labels3 = segmenter.segment_domains(np.concatenate([d1, d2, d3]))
+    assert len(np.unique(labels3)) == 3
+
+    # (c) two domains with a CLOSER spacing (denser inter-domain contact)
+    d2c = make_chain(70, (64, 64, 64), 7) + np.array([26.0, 0, 0])
+    labels_c = segmenter.segment_domains(np.concatenate([d1, d2c]))
+    assert len(np.unique(labels_c)) >= 1  # may merge; must not crash
+    # sequence contiguity: each domain id forms contiguous stretches
+    changes = int(np.sum(np.diff(labels_c) != 0))
+    assert changes <= 3
+
+    # (d) real PDB-derived: the reference PULCHRA example (single compact
+    # protein; must come out as ONE domain, not get shredded)
+    from pathlib import Path
+
+    example = Path("/root/reference/modules/pulchra304/examples/model.pdb")
+    if example.exists():
+        from mica_tpu.io import pdb as pdb_io
+
+        atoms = pdb_io.parse_pdb(example)
+        labels_r = segmenter.segment_chain_pdb(atoms)
+        assert len(np.unique(labels_r)) <= 2

@@ -81,3 +81,31 @@ def test_stitch_with_channels(rng):
     assert out.shape == (20,) + shape
     # check one voxel: window 0 core voxel (8,8,8) -> volume (0,0,0)
     np.testing.assert_array_equal(out[:, 0, 0, 0], wins[0, :, 8, 8, 8])
+
+
+def test_stem_pallas_matches_xla(rng):
+    """The fused Pallas stem kernel (interpret mode on CPU) must match the
+    XLA patch-matmul formulation exactly."""
+    import jax.numpy as jnp
+
+    from mica_tpu.ops.conv_fast import embed_kernel, multiscale_stem_conv
+    from mica_tpu.ops.stem_pallas import stem_conv_pallas
+
+    B, D, H, W, C = 1, 8, 8, 8, 16
+    ks = [3, 5, 7, 9]
+    kernels = [
+        jnp.asarray(rng.standard_normal((k, k, k, 1, C // 4)).astype(np.float32) * 0.1)
+        for k in ks
+    ]
+    biases = [jnp.asarray(rng.standard_normal(C // 4).astype(np.float32))
+              for _ in ks]
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, 1)).astype(np.float32))
+
+    ref = multiscale_stem_conv(x, kernels, biases, allow_pallas=False)
+    combined = jnp.concatenate(
+        [embed_kernel(k, 9).reshape(9, 81, -1) for k in kernels], axis=-1
+    )
+    bias = jnp.concatenate(biases, axis=-1)
+    out = stem_conv_pallas(x[..., 0], combined, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)

@@ -75,7 +75,13 @@ class ChannelDropout(nn.Module):
 
 
 class Conv(nn.Module):
-    """3-D conv with SAME padding, torch-compatible init (xavier_normal)."""
+    """3-D conv with SAME padding, torch-compatible init (xavier_normal).
+
+    ``precision="highest"`` matters only for float32 compute (parity mode):
+    XLA's DEFAULT precision decomposes f32 contractions into bf16 passes on
+    the TPU MXU, which drifts ~0.2 in final logits vs a true-f32 oracle;
+    bf16 compute (the production dtype) is unaffected by the flag.
+    """
 
     features: int
     kernel: int = 3
@@ -84,6 +90,7 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        f32 = self.dtype is None or self.dtype == jnp.float32
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel,) * 3,
@@ -91,6 +98,7 @@ class Conv(nn.Module):
             feature_group_count=self.groups,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            precision="highest" if f32 else None,
             kernel_init=nn.initializers.xavier_normal(),
             bias_init=nn.initializers.zeros,
         )(x)
@@ -140,13 +148,16 @@ class SEBlock(nn.Module):
     @nn.compact
     def __call__(self, x, dropout_rate: float, train: bool):
         y = global_avg_pool(x).reshape(x.shape[0], self.channels)
+        f32 = self.dtype is None or self.dtype == jnp.float32
         y = nn.Dense(self.channels // self.reduction, dtype=self.dtype,
                      param_dtype=jnp.float32,
+                     precision="highest" if f32 else None,
                      kernel_init=nn.initializers.xavier_normal())(y)
         y = nn.relu(y)
         if train and dropout_rate > 0.0:
             y = nn.Dropout(rate=dropout_rate, deterministic=False)(y)
         y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32,
+                     precision="highest" if f32 else None,
                      kernel_init=nn.initializers.xavier_normal())(y)
         y = nn.sigmoid(y)
         return x * y.reshape(x.shape[0], 1, 1, 1, self.channels)

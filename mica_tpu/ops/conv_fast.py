@@ -116,6 +116,7 @@ def multiscale_stem_conv(
         term = jnp.einsum(
             "bdhwk,kc->bdhwc", planes, combined[dz],
             preferred_element_type=jnp.float32,
+            precision="highest" if dt == jnp.float32 else None,
         )
         out = term if out is None else out + term
     return (out + bias.astype(jnp.float32)).astype(dt)

@@ -43,8 +43,10 @@ class Candidates:
     coords: np.ndarray  # (N, 3) float64 sub-voxel positions (voxel units)
     aa_prob: np.ndarray  # (20, N) aggregated amino-acid probabilities
     aa_pred: np.ndarray  # (N,) argmax type 0..19 at the rounded position
-    dist: np.ndarray  # (N, N) pairwise distances
-    neigh_mat: np.ndarray  # (N, N) pair scores
+    # lazy/sparse (N, N)-indexable structures (trace/sparse.py): dense
+    # matrices at 20k candidates are 3.2 GB each (see VERDICT weak #7)
+    dist: object  # PairwiseDistances — dense-style indexing
+    neigh_mat: object  # SparsePairScores — dense-style indexing, 0 default
     neighbors2to6: List[np.ndarray]
     neighbors0to6: List[np.ndarray]
     neighbors2to7: List[np.ndarray]
@@ -149,15 +151,17 @@ def refine_candidates(cands: np.ndarray, ca_prob: np.ndarray, aa_prob: np.ndarra
     return coords, aa
 
 
-def pair_scores(coords: np.ndarray, dist: np.ndarray, bb_prob: np.ndarray,
-                lo: float = 2.0, hi: float = 6.0) -> np.ndarray:
-    """Vectorized neigh_mat (modeler.py:877-886)."""
-    n = len(coords)
-    mat = np.zeros((n, n))
-    ii, jj = np.where((dist >= lo) & (dist <= hi))
+def pair_scores_sparse(coords: np.ndarray, ii: np.ndarray, jj: np.ndarray,
+                       d: np.ndarray, bb_prob: np.ndarray,
+                       lo: float = 2.0, hi: float = 6.0):
+    """neigh_mat over candidate pairs (modeler.py:877-886), sparse.
+
+    ``(ii, jj, d)`` are directed pairs with their distances; only those in
+    the [lo, hi] band score (the dense matrix is zero elsewhere)."""
+    band = (d >= lo) & (d <= hi)
+    ii, jj, d = ii[band], jj[band], d[band]
     if len(ii) == 0:
-        return mat
-    d = dist[ii, jj]
+        return ii, jj, np.zeros(0)
     dis = np.maximum(0.0, np.abs(d - 3.8) - 0.5)
     dis_score = np.maximum(0.0, 1.0 - dis / 2.0)
 
@@ -167,8 +171,7 @@ def pair_scores(coords: np.ndarray, dist: np.ndarray, bb_prob: np.ndarray,
         pts = np.rint(j / 5 * coords[jj] + (5 - j) / 5 * coords[ii]).astype(np.int64)
         pts = np.clip(pts, 0, shape - 1)
         bb += bb_prob[pts[:, 0], pts[:, 1], pts[:, 2]]
-    mat[ii, jj] = (dis_score + bb / 4.0) / 2.0
-    return mat
+    return ii, jj, (dis_score + bb / 4.0) / 2.0
 
 
 def extract_candidates(
@@ -203,27 +206,68 @@ def extract_candidates(
     )
     pred = np.asarray(aa_pred[rounded[:, 0], rounded[:, 1], rounded[:, 2]])
 
-    diff = coords[:, None, :] - coords[None, :, :]
-    dist = np.sqrt(np.sum(diff * diff, axis=-1))
+    return build_neighbor_structure(coords, aa, pred, bb_prob)
 
-    n26, n06, n27, n07, best = [], [], [], [], []
-    mat = pair_scores(coords, dist, bb_prob)
-    for i in range(len(coords)):
-        di = dist[i]
-        n26.append(np.where((di >= 2) & (di <= 6))[0])
-        n06.append(np.where(di <= 6)[0])
-        n27.append(np.where((di >= 2) & (di <= 7))[0])
-        n07.append(np.where(di <= 7)[0])
-        second, first = np.argsort(mat[i], kind="stable")[-2:]
-        lst = []
-        if mat[i, first] != 0:
-            lst.append(int(first))
-        if mat[i, second] != 0:
-            lst.append(int(second))
-        best.append(lst)
+
+def build_neighbor_structure(coords: np.ndarray, aa: np.ndarray,
+                             pred: np.ndarray, bb_prob: np.ndarray
+                             ) -> Candidates:
+    """Sparse neighbor structure via KD-tree radius queries.
+
+    Replaces the reference's dense (N, N) float64 distance / score
+    matrices (modeler.py:863-886): at 20k candidates those are 3.2 GB each
+    and O(N^2) to build; a 7 A radius query is O(N log N) and the sparse
+    pair set is ~30 pairs/candidate.
+    """
+    from scipy.spatial import cKDTree
+
+    from .sparse import PairwiseDistances, SparsePairScores
+
+    n = len(coords)
+    tree = cKDTree(coords)
+    pairs = tree.query_pairs(7.0, output_type="ndarray")  # undirected i<j
+    if len(pairs):
+        ii = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        jj = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    else:
+        ii = jj = np.zeros(0, np.int64)
+    d = np.sqrt(np.sum((coords[ii] - coords[jj]) ** 2, axis=-1))
+
+    # per-candidate neighbor lists (sorted ascending like np.where on rows)
+    order = np.argsort(ii * n + jj, kind="stable")
+    ii_s, jj_s, d_s = ii[order], jj[order], d[order]
+    row_start = np.searchsorted(ii_s, np.arange(n))
+    row_end = np.searchsorted(ii_s, np.arange(n) + 1)
+
+    n26, n06, n27, n07 = [], [], [], []
+    self_ix = np.arange(n)
+    for i in range(n):
+        cols = jj_s[row_start[i]:row_end[i]]
+        dr = d_s[row_start[i]:row_end[i]]
+        n26.append(cols[(dr >= 2) & (dr <= 6)])
+        # the <=6 / <=7 bands include the candidate itself (dist 0),
+        # matching np.where(dist[i] <= r) on the dense matrix
+        n06.append(np.sort(np.append(cols[dr <= 6], self_ix[i])))
+        n27.append(cols[(dr >= 2) & (dr <= 7)])
+        n07.append(np.sort(np.append(cols[dr <= 7], self_ix[i])))
+
+    si, sj, sv = pair_scores_sparse(coords, ii, jj, d, bb_prob)
+    mat = SparsePairScores(n, si, sj, sv)
+
+    best: List[List[int]] = [[] for _ in range(n)]
+    for i in range(n):
+        cols, vals = mat.row_nonzero(i)
+        if len(cols) == 0:
+            continue
+        # dense argsort tie-breaking: stable sort over the full row picks
+        # the LARGEST index among equal scores last; nonzero scores only
+        top = np.argsort(vals, kind="stable")[::-1][:2]
+        lst = [int(cols[t]) for t in top if vals[t] != 0]
+        best[i] = lst
 
     return Candidates(
-        coords=coords, aa_prob=aa, aa_pred=pred, dist=dist, neigh_mat=mat,
+        coords=coords, aa_prob=aa, aa_pred=pred,
+        dist=PairwiseDistances(coords), neigh_mat=mat,
         neighbors2to6=n26, neighbors0to6=n06, neighbors2to7=n27,
         neighbors0to7=n07, best_neigh=best,
     )

@@ -2,15 +2,17 @@
 
 Re-implementation of the reference's ``pathWalking`` + ``getNHopMat``
 (modeler.py:105-141, 1078-1102), which the reference fans out over a fork
-pool.  The branching factor is at most 2 (paths walk the top-2
-``best_neigh`` graph), so exhaustive enumeration per source is cheap; the
-whole matrix is built in one vectorized pass per hop.
+pool into DENSE (n_hop, N, N) float64 matrices — 19 GB at 20k candidates.
+The branching factor is at most 2 (paths walk the top-2 ``best_neigh``
+graph), so each (hop, src) row has at most 2^(h+1) nonzero destinations:
+the stack is built and stored row-sparse (trace/sparse.py:SparseHopMatrix)
+and score propagation gathers through the sparse rows in blocks.
 
 Semantics: for every source candidate, walk all simple paths of length
 1..n_hop along best-neighbor edges; a path's score is the product of
-``max(neigh_mat[a, b], 0.1)`` over its edges; ``n_hop_mat[h, src, dst]`` is
-the max path score over paths of length h+1 from src ending at dst, then
-each (hop, src) row is normalized to sum 1.
+``max(neigh_mat[a, b], 0.1)`` over its edges; hop row (h, src) holds the
+max path score over paths of length h+1 from src per destination, then
+each row is normalized to sum 1.
 """
 
 from __future__ import annotations
@@ -19,14 +21,15 @@ from typing import List, Sequence
 
 import numpy as np
 
+from .sparse import SparseHopMatrix
+
 
 def path_walk(src: int, n_hop: int, best_neigh: Sequence[Sequence[int]],
-              neigh_mat: np.ndarray) -> List[np.ndarray]:
-    """Per-source exhaustive walk; returns one dense row per hop."""
-    n = neigh_mat.shape[0]
+              neigh_mat) -> List[dict]:
+    """Per-source exhaustive walk; returns one {dst: score} dict per hop."""
     traces = [[src]]
     scores = [1.0]
-    results: List[np.ndarray] = []
+    results: List[dict] = []
     for _ in range(n_hop):
         new_traces, new_scores = [], []
         for trace, score in zip(traces, scores):
@@ -38,75 +41,80 @@ def path_walk(src: int, n_hop: int, best_neigh: Sequence[Sequence[int]],
                 new_scores.append(score * max(neigh_mat[last, nb], 0.1))
         if not new_traces:
             break
-        row = np.zeros(n)
+        row: dict = {}
         for trace, score in zip(new_traces, new_scores):
             dst = trace[-1]
-            row[dst] = max(row[dst], score)
+            if score > row.get(dst, 0.0):
+                row[dst] = score
         results.append(row)
         traces, scores = new_traces, new_scores
     return results
 
 
-def n_hop_matrix(best_neigh: Sequence[Sequence[int]], neigh_mat: np.ndarray,
-                 n_hop: int = 6) -> np.ndarray:
-    """(n_hop, N, N) normalized reachability matrix."""
-    n = neigh_mat.shape[0]
-    mat = np.zeros((n_hop, n, n))
+def n_hop_matrix(best_neigh: Sequence[Sequence[int]], neigh_mat,
+                 n_hop: int = 6) -> SparseHopMatrix:
+    """Row-sparse (n_hop, N, N) normalized reachability stack."""
+    n = len(best_neigh)
+    rows: List[List[dict]] = [[] for _ in range(n_hop)]
+    max_width = [1] * n_hop
     for src in range(n):
-        for h, row in enumerate(path_walk(src, n_hop, best_neigh, neigh_mat)):
-            mat[h, src] = row
-    sums = mat.sum(axis=2, keepdims=True)
-    np.divide(mat, sums, out=mat, where=sums != 0)
-    return mat
+        walked = path_walk(src, n_hop, best_neigh, neigh_mat)
+        for h in range(n_hop):
+            row = walked[h] if h < len(walked) else {}
+            rows[h].append(row)
+            max_width[h] = max(max_width[h], len(row))
+
+    k = max(max_width)
+    indices = np.zeros((n_hop, n, k), np.int32)
+    values = np.zeros((n_hop, n, k), np.float32)
+    for h in range(n_hop):
+        for src, row in enumerate(rows[h]):
+            if not row:
+                continue
+            total = sum(row.values())
+            for slot, (dst, val) in enumerate(row.items()):
+                indices[h, src, slot] = dst
+                values[h, src, slot] = val / total
+    return SparseHopMatrix(indices, values, n)
 
 
-def propagate_scores(base: np.ndarray, n_hop_mat: np.ndarray,
-                     device: str = "auto") -> np.ndarray:
+def propagate_scores(base: np.ndarray, n_hop_mat: SparseHopMatrix,
+                     block: int = 4096) -> np.ndarray:
     """Sequence-offset score propagation (modeler.py:1108-1110).
 
     ``base`` is (n_fasta, L, N).  For each hop h, scores from sequence
     positions at offset ±(h+1) are pulled through the transposed hop
     matrix and accumulated:
 
-        out = base + sum_h shift(base, +(h+1)) @ M_h^T
-                   + sum_h shift(base, -(h+1)) @ M_h^T
+        out[f, l, src] = base + sum_h sum_k shifted(base)[f, l, idx[h,src,k]]
+                                        * val[h, src, k]
 
-    This is a stack of (L, N) @ (N, N) matmuls — MXU-shaped.  For large
-    candidate sets it runs jit-compiled on the accelerator (``auto``
-    switches over at ~2e11 flops); small problems stay in numpy.
+    — a blocked sparse gather (the dense formulation is a stack of
+    (L, N) @ (N, N) matmuls, quadratic in N).
     """
-    n_hop = n_hop_mat.shape[0]
-    flops = 4.0 * base.shape[0] * base.shape[1] * n_hop_mat.shape[1] ** 2 * n_hop
-    if device == "jax" or (device == "auto" and flops > 2e11):
-        return np.asarray(_propagate_jax(jnp_asarray(base), jnp_asarray(n_hop_mat)))
-    out = base.copy()
-    for h in range(n_hop):
-        k = h + 1
-        fwd = np.pad(base[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
-        bwd = np.pad(base[:, k:, :], [(0, 0), (0, k), (0, 0)])
-        out += fwd @ n_hop_mat[h].T + bwd @ n_hop_mat[h].T
-    return out
-
-
-def jnp_asarray(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(x, jnp.float32)
-
-
-def _propagate_jax(base, n_hop_mat):
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(base, mats):
-        out = base
-        for h in range(mats.shape[0]):
+    if isinstance(n_hop_mat, np.ndarray):  # dense fallback (tests/tools)
+        out = base.copy()
+        for h in range(n_hop_mat.shape[0]):
             k = h + 1
-            fwd = jnp.pad(base[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
-            bwd = jnp.pad(base[:, k:, :], [(0, 0), (0, k), (0, 0)])
-            mt = mats[h].T
-            out = out + fwd @ mt + bwd @ mt
+            fwd = np.pad(base[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
+            bwd = np.pad(base[:, k:, :], [(0, 0), (0, k), (0, 0)])
+            out += fwd @ n_hop_mat[h].T + bwd @ n_hop_mat[h].T
         return out
 
-    return run(base, n_hop_mat)
+    n_hop = n_hop_mat.shape[0]
+    n = n_hop_mat.n
+    base32 = np.asarray(base, np.float32)
+    out = base32.copy()
+    for h in range(n_hop):
+        k = h + 1
+        comb = np.pad(base32[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
+        comb += np.pad(base32[:, k:, :], [(0, 0), (0, k), (0, 0)])
+        idx_h = n_hop_mat.indices[h]
+        val_h = n_hop_mat.values[h]
+        for ofs in range(0, n, block):
+            sl = slice(ofs, min(ofs + block, n))
+            gathered = comb[:, :, idx_h[sl]]            # (F, L, B, K)
+            out[:, :, sl] += np.einsum(
+                "flbk,bk->flb", gathered, val_h[sl]
+            )
+    return out.astype(base.dtype)

@@ -70,9 +70,16 @@ def test_candidates_near_truth(scenario, cands):
 def test_nhop_matrix_properties(cands):
     mat = nhop.n_hop_matrix(cands.best_neigh, cands.neigh_mat, n_hop=3)
     assert mat.shape == (3, len(cands), len(cands))
-    sums = mat.sum(axis=2)
+    sums = mat.values.sum(axis=2)
     nonzero = sums[sums > 0]
-    np.testing.assert_allclose(nonzero, 1.0, atol=1e-9)
+    np.testing.assert_allclose(nonzero, 1.0, rtol=1e-6)
+
+    # sparse propagation == dense-matmul propagation
+    rng = np.random.default_rng(0)
+    base = rng.random((2, 30, len(cands))).astype(np.float32)
+    sparse_out = nhop.propagate_scores(base, mat)
+    dense_out = nhop.propagate_scores(base, mat.todense())
+    np.testing.assert_allclose(sparse_out, dense_out, atol=1e-4)
 
 
 def test_fragments_cover_chain(scenario, cands):
@@ -261,3 +268,51 @@ def test_af3_pipeline_two_sequences():
     m1 = cands2.coords[res1[res1 != -1]].mean(axis=0)
     m2 = cands2.coords[res2[res2 != -1]].mean(axis=0)
     assert m1[0] < 48 < m2[0]
+
+
+def test_trace_structures_scale_to_20k():
+    """VERDICT weak #7: dense (N,N) float64 structures cost 3.2 GB each at
+    20k candidates; the sparse rewrite must build the full neighbor
+    structure + 6-hop matrix + one propagation in seconds and well under
+    4 GB of host RAM."""
+    import time
+
+    import mica_tpu.trace.candidates as cnd
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    # protein-like point cloud: chains of ~3.8-spaced points in a box
+    pts = []
+    pos = rng.uniform(20, 230, 3)
+    for i in range(n):
+        step = rng.normal(0, 1, 3)
+        step = 3.8 * step / np.linalg.norm(step)
+        pos = np.clip(pos + step, 5, 250)
+        pts.append(pos.copy())
+    coords = np.asarray(pts)
+    bb_prob = rng.random((256, 256, 256), dtype=np.float32)
+    aa = rng.random((20, n)).astype(np.float32)
+    pred = rng.integers(0, 20, n)
+
+    t0 = time.time()
+    cands = cnd.build_neighbor_structure(coords, aa, pred, bb_prob)
+    t_build = time.time() - t0
+    assert len(cands) == n
+
+    t0 = time.time()
+    mat = nhop.n_hop_matrix(cands.best_neigh, cands.neigh_mat, n_hop=6)
+    t_nhop = time.time() - t0
+
+    base = rng.random((1, 300, n)).astype(np.float32)
+    t0 = time.time()
+    out = nhop.propagate_scores(base, mat)
+    t_prop = time.time() - t0
+    assert np.isfinite(out).all()
+
+    # memory sanity: sparse structures are tiny vs 3.2 GB dense
+    pair_bytes = cands.neigh_mat._vals.nbytes + cands.neigh_mat._keys.nbytes
+    hop_bytes = mat.indices.nbytes + mat.values.nbytes
+    assert pair_bytes < 100e6, pair_bytes
+    assert hop_bytes < 400e6, hop_bytes
+    # and fast (dense would not even allocate on this host)
+    assert t_build + t_nhop + t_prop < 600, (t_build, t_nhop, t_prop)

@@ -74,13 +74,21 @@ def multiscale_stem_conv(
     axis without the catastrophic (k,k,k) tiling blowup a naive 7-D layout
     incurs (3.6x padding at k=9 -> HBM OOM).
 
-    On TPU the whole thing runs as a fused Pallas kernel
-    (ops/stem_pallas.py) — patch build + contraction stay in VMEM —
-    unless ``allow_pallas`` is False (training path: the Pallas kernel has
-    no VJP, the XLA formulation differentiates fine).
+    On TPU the production path is the space-to-depth formulation
+    (``multiscale_stem_conv_s2d``): folding the single-channel input by 2
+    per axis turns the four Cin=1 convs into one dense Cin=8 / Cout=1024
+    conv — measured 17 ms vs 75 ms for the patch-matmul formulation at
+    batch 8 on v5e.  Falls back to the patch-matmul path when a spatial
+    dim is odd.  ``allow_pallas`` opts into the experimental Pallas stem
+    kernel (measured slower on v5e; kept as a Mosaic baseline).
     """
     k_max = max(k.shape[0] for k in kernels)
     dt = compute_dtype or x.dtype
+
+    if all(d % 2 == 0 for d in x.shape[1:4]):
+        return multiscale_stem_conv_s2d(x, kernels, biases, s=2,
+                                        compute_dtype=dt)
+
     combined = jnp.concatenate(
         [
             embed_kernel(k.astype(dt), k_max).reshape(k_max, k_max * k_max, -1)
@@ -120,6 +128,137 @@ def multiscale_stem_conv(
         )
         out = term if out is None else out + term
     return (out + bias.astype(jnp.float32)).astype(dt)
+
+
+def _fold_s2d(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Space-to-depth: (B, D, H, W) -> (B, D/s, H/s, W/s, s^3).
+
+    Intra-block channel index is qz*s^2 + qy*s + qx.
+    """
+    b, d, h, w = x.shape
+    x = x.reshape(b, d // s, s, h // s, s, w // s, s)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6)
+    return x.reshape(b, d // s, h // s, w // s, s * s * s)
+
+
+def _unfold_s2d(y: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Inverse: (B, D/s, H/s, W/s, s^3 * C) -> (B, D, H, W, C).
+
+    Output channel index layout is (pz, py, px, c).
+    """
+    b, dz, hy, wx, sc = y.shape
+    c = sc // (s * s * s)
+    y = y.reshape(b, dz, hy, wx, s, s, s, c)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(b, dz * s, hy * s, wx * s, c)
+
+
+def _fold_kernel_s2d(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Polyphase fold of a (k,k,k,1,C) kernel for space-to-depth factor s.
+
+    Returns a (T,T,T, s^3, s^3*C) kernel with T = ceil((k+s-1)/s) (odd by
+    construction for odd k and s in {2,4} with k=9) such that a stride-1
+    SAME conv on the folded input equals the original SAME conv:
+
+        out[s*Z+p] = sum_t w[t+half] in[s*Z+p+t]
+                   = sum_u sum_q W'[u+U, q, p] In[Z+u, q],
+        W'[u, q, p] = w[s*u + q - p + half]  (0 when out of range).
+    """
+    k, _, _, cin, cout = kernel.shape
+    assert cin == 1
+    half = k // 2
+    # symmetric tap window [-U, U] so SAME padding on the folded conv (U
+    # blocks = s*U voxels) covers the original SAME padding exactly
+    U = max(-(-half // s), (s - 1 + half) // s)
+    taps = np.arange(-U, U + 1)
+    T = len(taps)
+
+    # idx[a, u, q, p] = s*u + q - p + half  along axis a (same for all axes)
+    u = taps[:, None, None]
+    q = np.arange(s)[None, :, None]
+    p = np.arange(s)[None, None, :]
+    idx = s * u + q - p + half  # (T, s, s)
+    valid = (idx >= 0) & (idx < k)
+    idx_c = np.clip(idx, 0, k - 1)
+
+    kz = kernel[idx_c.reshape(-1)].reshape(T, s, s, k, k, 1, cout)
+    kz = kz * jnp.asarray(valid.reshape(T, s, s, 1, 1, 1, 1), kernel.dtype)
+    kzy = kz[:, :, :, idx_c.reshape(-1)].reshape(T, s, s, T, s, s, k, 1, cout)
+    kzy = kzy * jnp.asarray(valid.reshape(1, 1, 1, T, s, s, 1, 1, 1), kernel.dtype)
+    kzyx = kzy[:, :, :, :, :, :, idx_c.reshape(-1)].reshape(
+        T, s, s, T, s, s, T, s, s, 1, cout
+    )
+    kzyx = kzyx * jnp.asarray(
+        valid.reshape(1, 1, 1, 1, 1, 1, T, s, s, 1, 1), kernel.dtype
+    )
+    # -> (uz, uy, ux, qz, qy, qx, pz, py, px, cout)
+    kf = kzyx.transpose(0, 3, 6, 1, 4, 7, 2, 5, 8, 9, 10)[..., 0, :]
+    # contract (qz,qy,qx) -> Cin = s^3; out channels (pz,py,px,cout) -> s^3*C
+    return kf.reshape(T, T, T, s ** 3, s ** 3 * cout)
+
+
+def multiscale_stem_conv_s2d(
+    x: jnp.ndarray,
+    kernels: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    s: int = 2,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Space-to-depth formulation of the fused multi-scale stem.
+
+    Folds the 64-cube single-channel input by ``s`` per axis so the four
+    Cin=1 convs (k=3/5/7/9 zero-embedded into the 9-cube) become ONE dense
+    conv with Cin = s^3 and Cout = 128*s^3 — full 128-lane MXU tiles
+    instead of a single-channel contraction.  Numerically identical to the
+    reference convs up to float reassociation.
+    """
+    dt = compute_dtype or x.dtype
+    k_max = max(int(k.shape[0]) for k in kernels)
+    combined = jnp.concatenate(
+        [embed_kernel(k.astype(dt), k_max) for k in kernels], axis=-1
+    )  # (9,9,9,1,Ctot)
+    bias = jnp.concatenate(list(biases), axis=-1)
+
+    xin = x[..., 0].astype(dt)
+    b, d, h, w = xin.shape
+    assert d % s == 0 and h % s == 0 and w % s == 0, (d, h, w, s)
+    xf = _fold_s2d(xin, s)
+    kf = _fold_kernel_s2d(combined, s)
+    out = jax.lax.conv_general_dilated(
+        xf,
+        kf,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+        precision="highest" if dt == jnp.float32 else None,
+    )
+    out = _unfold_s2d(out, s)
+    return (out + bias.astype(jnp.float32)).astype(dt)
+
+
+def depthwise_conv3_dense(x: jnp.ndarray, kernel: jnp.ndarray,
+                          bias: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3x3 conv computed as a DENSE conv with a
+    diagonal-expanded kernel (zeros off-diagonal).
+
+    Burns C-times the FLOPs but runs on the MXU: at C<=128 the dense conv's
+    measured time is far below XLA's grouped-conv lowering.  ``kernel`` is
+    flax grouped layout (3,3,3,1,C).
+    """
+    c = x.shape[-1]
+    eye = jnp.eye(c, dtype=kernel.dtype)
+    dense_k = kernel[:, :, :, 0, :][..., None, :] * eye[None, None, None]
+    # (3,3,3,C_in,C_out) with dense_k[..., i, j] = kernel[..., j] * (i == j)
+    out = jax.lax.conv_general_dilated(
+        x,
+        dense_k.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def depthwise_conv3(x: jnp.ndarray, kernel: jnp.ndarray,

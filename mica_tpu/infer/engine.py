@@ -112,14 +112,26 @@ class SlidingWindowPredictor:
         core: int = CORE,
         halo: int = HALO,
         blend: str = "core",
+        shard_volumes: bool = False,
     ):
         """``blend``: 'core' pastes each window's halo-stripped core
         (reference semantics, predict.py:496-501); 'average' accumulates
         the FULL window prediction with uniform weights and divides — the
-        overlap-averaged upgrade, smoother at window seams."""
+        overlap-averaged upgrade, smoother at window seams.
+
+        ``shard_volumes``: shard the output accumulator volumes along the
+        leading spatial axis over the mesh instead of replicating them
+        (memory-scalable inference: a 512-cube map's 20-channel AA volume
+        is ~10.7 GB replicated, ~1.3 GB/chip sharded on 8 devices).  The
+        X core-count is padded to a mesh multiple so every window core
+        lands wholly inside one device's slab; each device masks and
+        writes only its own cores (the batch of cores is all-gathered —
+        they are small).  Requires a mesh and blend='core' (full-window
+        averaging crosses slab boundaries)."""
         if blend not in ("core", "average"):
             raise ValueError(f"unknown blend mode {blend!r}")
         self.blend = blend
+        self.shard_volumes = bool(shard_volumes)
         self.model = MICA(base=base_filters, dtype=dtype)
         self.params = params
         self.core = int(core)
@@ -127,6 +139,8 @@ class SlidingWindowPredictor:
         self.window = self.core + 2 * self.halo
         self.batch_size = int(batch_size)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        if self.shard_volumes and (self.mesh is None or self.blend != "core"):
+            raise ValueError("shard_volumes requires a mesh and blend='core'")
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
             if self.batch_size % n_dev:
@@ -135,6 +149,7 @@ class SlidingWindowPredictor:
         self._model_step = None
         self._gather = {}
         self._scatter = None
+        self._scatter_sharded = {}
         self._shardings = None
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -145,10 +160,14 @@ class SlidingWindowPredictor:
     # jit pieces
     # ------------------------------------------------------------------
     def _build_model_step(self, with_af: bool):
-        """Heavy step: (B,w,w,w[,24]) windows -> core probability blocks.
+        """Heavy step: (B,w,w,w) windows (+ packed uint32 AF windows) ->
+        core probability blocks.
 
         Shapes depend only on (batch, window) — compiled once, served from
-        the persistent cache for every map afterwards.
+        the persistent cache for every map afterwards.  The 24-channel AF
+        encoding arrives as uint32 bitfields and is unpacked INSIDE this
+        program, so the float windows never round-trip through HBM between
+        the gather and the model.
         """
         if self._model_step is not None:
             return self._model_step
@@ -156,7 +175,11 @@ class SlidingWindowPredictor:
 
         full = self.blend == "average"
 
-        def step(params, windows, af):
+        def step(params, windows, af_packed):
+            af = (
+                unpack_af_bits(af_packed, windows.dtype)
+                if af_packed is not None else None
+            )
             bb, ca, aa = model.apply({"params": params}, windows, af)
             bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
             sl = slice(None) if full else slice(halo, halo + core_n)
@@ -180,12 +203,18 @@ class SlidingWindowPredictor:
     def _build_gather(self, with_af: bool):
         """Cheap window gather; the jit wrapper is cached on self so repeat
         calls on the same map shape hit jax's shape-keyed trace cache
-        instead of re-tracing a fresh closure every predict_volume."""
+        instead of re-tracing a fresh closure every predict_volume.
+
+        Takes the full device-resident ``starts`` array plus a scalar
+        offset (one host->device upload per map, not one per batch) and
+        returns AF windows still bit-packed (the model step unpacks)."""
         if with_af in self._gather:
             return self._gather[with_af]
-        w = self.window
+        w, bsz = self.window, self.batch_size
 
-        def gather(padded_map, padded_af, starts):
+        def gather(padded_map, padded_af, all_starts, ofs):
+            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
+
             def one(start):
                 win = jax.lax.dynamic_slice(
                     padded_map, (start[0], start[1], start[2]), (w, w, w)
@@ -198,17 +227,14 @@ class SlidingWindowPredictor:
                 return win, af
 
             wins, afs = jax.vmap(one)(starts)
-            wins = wins[..., None]
-            if afs is not None:
-                afs = unpack_af_bits(afs, wins.dtype)
-            return wins, afs
+            return wins[..., None], afs, starts
 
         if self._shardings is not None:
             repl, bshard = self._shardings
             fn = jax.jit(
                 gather,
-                in_shardings=(repl, repl if with_af else None, bshard),
-                out_shardings=(bshard, bshard if with_af else None),
+                in_shardings=(repl, repl if with_af else None, repl, repl),
+                out_shardings=(bshard, bshard if with_af else None, repl),
             )
         else:
             fn = jax.jit(gather)
@@ -221,8 +247,10 @@ class SlidingWindowPredictor:
             return self._scatter
         core_n = self.core
         average = self.blend == "average"
+        bsz = self.batch_size
 
-        def scatter(vols, cores, starts):
+        def scatter(vols, cores, all_starts, ofs):
+            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
             bb_v, ca_v, aa_v, cnt_v = vols
             bb_c, ca_c, aa_c = cores
             for i in range(starts.shape[0]):
@@ -253,13 +281,70 @@ class SlidingWindowPredictor:
             repl, bshard = self._shardings
             fn = jax.jit(
                 scatter,
-                in_shardings=((repl,) * 4, (bshard,) * 3, bshard),
+                in_shardings=((repl,) * 4, (bshard,) * 3, repl, repl),
                 out_shardings=(repl,) * 4,
                 donate_argnums=(0,),
             )
         else:
             fn = jax.jit(scatter, donate_argnums=(0,))
         self._scatter = fn
+        return fn
+
+    def _build_scatter_sharded(self, x_local: int):
+        """Core scatter into X-sharded accumulators via shard_map.
+
+        Each device owns a contiguous ``x_local``-plane slab of the padded
+        volume; cores are 48-aligned and ``x_local`` is a multiple of the
+        core size, so every core belongs to exactly one device.  Each
+        device scans the (replicated) batch of cores and writes the ones
+        whose X start falls in its slab — the write itself is masked by
+        re-writing the existing block when the core is foreign.
+        """
+        if x_local in self._scatter_sharded:
+            return self._scatter_sharded[x_local]
+        from jax.experimental.shard_map import shard_map
+
+        core_n, bsz, mesh = self.core, self.batch_size, self.mesh
+
+        def scatter_local(vols, cores, all_starts, ofs):
+            bb_v, ca_v, aa_v, cnt_v = vols
+            bb_c, ca_c, aa_c = cores
+            x_off = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * x_local
+            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
+            for i in range(bsz):
+                s = starts[i]
+                lx = s[0] - x_off
+                mine = (lx >= 0) & (lx < x_local)
+                pos = jnp.clip(lx, 0, x_local - core_n)
+                for vi, (v, c3) in enumerate(((bb_v, bb_c), (ca_v, ca_c))):
+                    old = jax.lax.dynamic_slice(
+                        v, (pos, s[1], s[2]), c3[i].shape)
+                    blk = jnp.where(mine, c3[i], old)
+                    v = jax.lax.dynamic_update_slice(v, blk, (pos, s[1], s[2]))
+                    if vi == 0:
+                        bb_v = v
+                    else:
+                        ca_v = v
+                old = jax.lax.dynamic_slice(
+                    aa_v, (pos, s[1], s[2], 0), aa_c[i].shape)
+                blk = jnp.where(mine, aa_c[i], old)
+                aa_v = jax.lax.dynamic_update_slice(
+                    aa_v, blk, (pos, s[1], s[2], 0))
+            return bb_v, ca_v, aa_v, cnt_v
+
+        x4 = P(DATA_AXIS, None, None, None)
+        x3 = P(DATA_AXIS, None, None)
+        vol_specs = (x3, x3, x4, P())
+        fn = jax.jit(
+            shard_map(
+                scatter_local, mesh=mesh,
+                in_specs=(vol_specs, (P(), P(), P()), P(), P()),
+                out_specs=vol_specs,
+                check_rep=False,
+            ),
+            donate_argnums=(0,),
+        )
+        self._scatter_sharded[x_local] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -282,7 +367,12 @@ class SlidingWindowPredictor:
         t0 = time.time()
         core_n, halo, win = self.core, self.halo, self.window
         shape = tuple(volume.shape)
-        nb = window_counts(shape, core_n)
+        nb = list(window_counts(shape, core_n))
+        if self.shard_volumes:
+            # pad the X core-count to a mesh multiple so each device owns
+            # an equal slab and every core lands wholly inside one slab
+            n_dev = self.mesh.devices.size
+            nb[0] = -(-nb[0] // n_dev) * n_dev
         padded_shape = tuple(n * core_n for n in nb)
 
         # pad so the last window [start, start+window) fits:
@@ -342,11 +432,25 @@ class SlidingWindowPredictor:
             jnp.zeros(acc_shape + (NUM_AA,), jnp.float32),
             jnp.zeros(acc_shape if average else (1, 1, 1), jnp.float32),
         )
-        if self._shardings is not None:
+        if self.shard_volumes:
+            xs = NamedSharding(self.mesh, P(DATA_AXIS))
+            xs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+            vols = (
+                jax.device_put(vols[0], xs),
+                jax.device_put(vols[1], xs),
+                jax.device_put(vols[2], xs4),
+                jax.device_put(vols[3], self._shardings[0]),
+            )
+        elif self._shardings is not None:
             vols = jax.device_put(vols, self._shardings[0])
 
         gather = self._build_gather(with_af)
-        scatter = self._build_scatter()
+        if self.shard_volumes:
+            scatter = self._build_scatter_sharded(
+                padded_shape[0] // self.mesh.devices.size
+            )
+        else:
+            scatter = self._build_scatter()
         model_step = self._build_model_step(with_af)
         self.timing["setup"] = time.time() - t0
 
@@ -371,11 +475,11 @@ class SlidingWindowPredictor:
                 )
 
         t1 = time.time()
+        starts_dev = jnp.asarray(starts)
         for ofs in range(0, starts.shape[0], bsz):
-            batch = jnp.asarray(starts[ofs : ofs + bsz])
-            wins, afs = gather(padded_map, padded_af, batch)
+            wins, afs, batch = gather(padded_map, padded_af, starts_dev, ofs)
             cores = model_step(self.params, wins, afs)
-            vols = scatter(vols, cores, batch)
+            vols = scatter(vols, cores, batch, 0)
             if dump_dir is not None:
                 n_valid = max(0, min(bsz, (starts.shape[0] - n_pad) - ofs))
                 dump(cores, starts[ofs : ofs + bsz], n_valid)
@@ -385,17 +489,18 @@ class SlidingWindowPredictor:
             # empty position (identical inputs -> identical outputs)
             zero_wins = jnp.zeros((bsz, win, win, win, 1), jnp.float32)
             zero_afs = (
-                jnp.zeros((bsz, win, win, win, NUM_AF_CHANNELS), jnp.float32)
-                if with_af else None
+                jnp.zeros((bsz, win, win, win), jnp.uint32) if with_af else None
             )
             z_cores = model_step(self.params, zero_wins, zero_afs)
+            n_pad_e = (-len(empty_starts)) % bsz
+            if n_pad_e:
+                empty_starts = np.concatenate(
+                    [empty_starts,
+                     np.repeat(empty_starts[-1:], n_pad_e, axis=0)]
+                )
+            empty_dev = jnp.asarray(empty_starts)
             for ofs in range(0, len(empty_starts), bsz):
-                chunk = empty_starts[ofs : ofs + bsz]
-                if len(chunk) < bsz:
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], bsz - len(chunk), axis=0)]
-                    )
-                vols = scatter(vols, z_cores, jnp.asarray(chunk))
+                vols = scatter(vols, z_cores, empty_dev, ofs)
         jax.block_until_ready(vols)
         # force true completion with a 1-voxel readback: on tunneled
         # platforms block_until_ready can return before execution finishes

@@ -350,32 +350,90 @@ class FPN(nn.Module):
         )
 
 
-class TaskHead(nn.Module):
-    """Task-specific decoder head with calibration SE (model.py:207-239)."""
+class _NamedConvParams(nn.Module):
+    """Declares conv params under ``<name>/Conv_0/{kernel,bias}`` — the
+    exact path an ``nn.Conv`` inside a ``Conv`` wrapper named ``name``
+    would use — so fused consumers stay checkpoint-compatible."""
+
+    kernel_shape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.kernel_shape, self.features, name="Conv_0")()
+
+
+class TaskHeadParams(nn.Module):
+    """Parameter container for a task head (reference model.py:207-239).
+
+    Declares the same parameter tree as a standalone head module
+    (conv1/conv2/cal0/cal1/final) without computing — the forward pass is
+    assembled at the MICA level so the three heads' conv1 over the shared
+    FPN tensor fuses into ONE 192-out convolution: the conv data staging
+    (27*Cin*voxels) dominates these small-Cout convs, and fusing shares
+    one staging pass across the heads (measured 71 -> 49 ms at batch 8)."""
+
+    in_channels: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "conv1": _NamedConvParams((3, 3, 3, self.in_channels, 64), 64,
+                                      name="conv1")(),
+            "conv2": _NamedConvParams((3, 3, 3, 64, 32), 32, name="conv2")(),
+            "cal0": _NamedConvParams((1, 1, 1, 32, 8), 8, name="cal0")(),
+            "cal1": _NamedConvParams((1, 1, 1, 8, 32), 32, name="cal1")(),
+            "final": _NamedConvParams((1, 1, 1, 32, self.num_classes),
+                                      self.num_classes, name="final")(),
+        }
+
+
+def conv_same(x, kernel, bias=None, dtype=None):
+    """Stride-1 SAME conv mirroring flax ``nn.Conv`` lowering exactly
+    (same dtype promotion, no explicit accumulation-type annotation in
+    low-precision mode, ``precision='highest'`` for the float32 parity
+    path) so XLA produces the same conv+epilogue fusions it would for the
+    module version."""
+    f32 = dtype is None or dtype == jnp.float32
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision="highest" if f32 else None,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+class TaskHeadRest(nn.Module):
+    """Everything after conv1 in a task head: IN -> relu -> conv2 -> IN ->
+    relu -> dropout -> calibration SE -> final 1x1 (float32 logits)."""
 
     num_classes: int
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, dropout_rate: float, train: bool):
-        x = Conv(64, 3, dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(instance_norm(x))
-        x = Conv(32, 3, dtype=self.dtype, name="conv2")(x)
+    def __call__(self, h1, p, dropout_rate: float, train: bool):
+        dt = self.dtype
+        x = nn.relu(instance_norm(h1))
+        x = conv_same(x, p["conv2"][0], p["conv2"][1], dtype=dt)
         x = nn.relu(instance_norm(x))
 
         x = ChannelDropout()(x, dropout_rate, train)
 
         cal = global_avg_pool(x)
-        cal = Conv(8, 1, dtype=self.dtype, name="cal0")(cal)
+        cal = conv_same(cal, p["cal0"][0], p["cal0"][1], dtype=dt)
         cal = nn.relu(cal)
         cal = ChannelDropout()(cal, dropout_rate, train)
-        cal = Conv(32, 1, dtype=self.dtype, name="cal1")(cal)
+        cal = conv_same(cal, p["cal1"][0], p["cal1"][1], dtype=dt)
         cal = nn.sigmoid(cal)
         x = x * cal
 
         # logits in float32 for a numerically stable softmax downstream
-        return Conv(self.num_classes, 1, dtype=jnp.float32, name="final")(
-            x.astype(jnp.float32)
+        return conv_same(
+            x.astype(jnp.float32), p["final"][0], p["final"][1],
+            dtype=jnp.float32,
         )
 
 
@@ -420,19 +478,54 @@ class MICA(nn.Module):
         fpn = FPN(self.base, dtype=self.dtype, name="fpn")(features, dropout_rate, train)
 
         head_rate = dropout_rate * 2
-        head_cls = (
-            nn.remat(TaskHead, static_argnums=(2, 3)) if self.remat else TaskHead
+        fpn_ch = fpn.shape[-1]
+        p_bb = TaskHeadParams(fpn_ch, 4, name="backbone_head")()
+        p_ca = TaskHeadParams(fpn_ch + 4, 4, name="ca_head")()
+        p_aa = TaskHeadParams(fpn_ch + 8, 21, name="aa_head")()
+
+        rest_cls = (
+            nn.remat(TaskHeadRest, static_argnums=(3, 4)) if self.remat
+            else TaskHeadRest
         )
-        backbone = head_cls(4, dtype=self.dtype, name="backbone_head")(
-            fpn, head_rate, train
+        rest_bb = rest_cls(4, dtype=self.dtype, name="backbone_rest")
+        rest_ca = rest_cls(4, dtype=self.dtype, name="ca_rest")
+        rest_aa = rest_cls(21, dtype=self.dtype, name="aa_rest")
+
+        # The three heads share the FPN tensor as their dominant conv1
+        # input; conv is linear in its input channels, so
+        # conv1_ca([fpn, bb]) = conv1_ca_fpn(fpn) + conv1_ca_bb(bb).
+        # One fused 192-out conv shares the conv data staging the three
+        # 64-out convs would each pay; the cascaded 4/8-channel logit
+        # corrections are near-free convs summed into the sliced outputs.
+        k_big = jnp.concatenate(
+            [p_bb["conv1"][0],
+             p_ca["conv1"][0][:, :, :, :fpn_ch],
+             p_aa["conv1"][0][:, :, :, :fpn_ch]],
+            axis=-1,
         )
-        ca = head_cls(4, dtype=self.dtype, name="ca_head")(
-            jnp.concatenate([fpn, backbone.astype(fpn.dtype)], axis=-1), head_rate, train
+        big = conv_same(fpn, k_big, dtype=self.dtype)
+
+        h_bb = big[..., :64] + p_bb["conv1"][1].astype(big.dtype)
+        backbone = rest_bb(h_bb, p_bb, head_rate, train)
+
+        bb_f = backbone.astype(fpn.dtype)
+        h_ca = (
+            big[..., 64:128]
+            + conv_same(bb_f, p_ca["conv1"][0][:, :, :, fpn_ch:],
+                        dtype=self.dtype)
+            + p_ca["conv1"][1].astype(big.dtype)
         )
-        aa = head_cls(21, dtype=self.dtype, name="aa_head")(
-            jnp.concatenate([fpn, backbone.astype(fpn.dtype), ca.astype(fpn.dtype)], axis=-1),
-            head_rate, train,
+        ca = rest_ca(h_ca, p_ca, head_rate, train)
+
+        h_aa = (
+            big[..., 128:192]
+            + conv_same(
+                jnp.concatenate([bb_f, ca.astype(fpn.dtype)], axis=-1),
+                p_aa["conv1"][0][:, :, :, fpn_ch:], dtype=self.dtype,
+            )
+            + p_aa["conv1"][1].astype(big.dtype)
         )
+        aa = rest_aa(h_aa, p_aa, head_rate, train)
         return backbone, ca, aa
 
 

@@ -1,0 +1,130 @@
+"""Multi-process (multi-host) initialization and global mesh helpers.
+
+The reference has no multi-node anything (its only parallelism is
+single-process ``torch.nn.DataParallel``, train.py:234).  For TPU pods the
+TPU-native path is one JAX process per host, connected through
+``jax.distributed``; collectives ride ICI within a slice and DCN across
+slices, inserted by XLA from the sharding annotations — the same
+``Mesh((data,))`` programs in this package run unchanged on the global
+device set.
+
+Typical pod usage (per host):
+
+    from mica_tpu.parallel import distributed
+    distributed.initialize()          # env-driven on TPU pods
+    mesh = distributed.global_mesh()  # all devices across all hosts
+    trainer = Trainer(..., mesh=mesh)
+
+On TPU hosts ``jax.distributed.initialize()`` discovers the coordinator
+from the TPU metadata; elsewhere (CPU/GPU or tests) pass
+``coordinator_address``/``num_processes``/``process_id`` explicitly.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from .mesh import DATA_AXIS
+
+logger = logging.getLogger(__name__)
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Connect this process to the distributed runtime (idempotent).
+
+    With no arguments, relies on the environment (TPU pod metadata or the
+    ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
+    variables jax reads).  Must be called before any jax operation that
+    initializes the backend.
+    """
+    global _initialized
+    if _initialized:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+    _initialized = True
+    logger.info(
+        "distributed runtime up: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def global_mesh(axis_name: str = DATA_AXIS,
+                backend: Optional[str] = None) -> Mesh:
+    """1-D data mesh over ALL devices across every connected process.
+
+    Device order follows ``jax.devices()`` (grouped by process), so a
+    batch sharded along ``data`` places each process's shard on its own
+    local devices — host->device feeding stays local and only the
+    collectives cross DCN.  ``backend`` pins the platform explicitly
+    (needed on hosts where another plugin wins the default-backend
+    election, e.g. CPU multi-process tests under the axon plugin).
+    """
+    return Mesh(np.asarray(jax.devices(backend)), (axis_name,))
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def make_global_batch(local_rows: "np.ndarray", mesh: Mesh,
+                      global_rows: int, axis_name: str = DATA_AXIS):
+    """Assemble a globally-sharded batch array from this process's rows.
+
+    Equivalent to ``jax.make_array_from_process_local_data`` but built
+    from explicit per-device shards, so it works regardless of which
+    backend is the default (on mixed-plugin hosts the default backend's
+    process count can disagree with the mesh's backend).
+    ``local_rows`` must be this process's contiguous slice of the global
+    batch, in mesh-device order.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(
+        mesh, P(axis_name, *([None] * (local_rows.ndim - 1)))
+    )
+    devices = [d for d in mesh.devices.flat
+               if d.process_index == d.client.process_index()]
+    per = local_rows.shape[0] // len(devices)
+    shards = [
+        jax.device_put(local_rows[i * per:(i + 1) * per], d)
+        for i, d in enumerate(devices)
+    ]
+    global_shape = (global_rows,) + tuple(local_rows.shape[1:])
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, shards
+    )
+
+
+def local_batch_slice(global_batch: int,
+                      backend: Optional[str] = None) -> slice:
+    """The [start, stop) rows of a global batch this process should feed.
+
+    With ``global_batch`` divisible by process_count, each process
+    materializes only its slice and hands jax per-device shards via
+    ``make_global_batch``.
+    """
+    per = global_batch // jax.process_count(backend)
+    start = per * jax.process_index(backend)
+    return slice(start, start + per)

@@ -1,0 +1,94 @@
+"""Multi-process (2 virtual hosts on CPU) smoke test for the
+jax.distributed entry: global mesh forms across processes, a sharded
+computation with a cross-process psum produces the right value.
+
+Each worker is a fresh subprocess (the distributed runtime cannot share
+the test process's already-initialized backend).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+import jax.numpy as jnp
+
+from mica_tpu.parallel import distributed
+
+addr, pid = sys.argv[1], int(sys.argv[2])
+distributed.initialize(coordinator_address=addr, num_processes=2, process_id=pid)
+
+# the cpu backend is pinned explicitly: on this host the axon TPU plugin
+# wins the default-backend election even under JAX_PLATFORMS=cpu
+assert jax.process_count("cpu") == 2, jax.process_count("cpu")
+assert jax.device_count("cpu") == 8, jax.device_count("cpu")
+assert jax.local_device_count("cpu") == 4
+
+mesh = distributed.global_mesh(backend="cpu")
+assert mesh.devices.size == 8
+
+# global batch 8, each process feeds its local half
+sl = distributed.local_batch_slice(8, backend="cpu")
+assert (sl.stop - sl.start) == 4
+full = np.arange(8, dtype=np.float32).reshape(-1, 1) * np.ones((1, 16), np.float32)
+garr = distributed.make_global_batch(full[sl], mesh, 8)
+
+@jax.jit
+def total(x):
+    return jnp.sum(x)
+
+got = float(total(garr))
+expect = float(full.sum())
+assert got == expect, (got, expect)
+print(f"proc {pid}: ok total={got}")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("MICA_SKIP_MULTIPROC") == "1",
+                    reason="multiprocess test disabled")
+def test_two_virtual_hosts(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    addr = f"localhost:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get(
+        "PYTHONPATH", ""
+    )
+    # the conftest env for the in-process suite must not leak device counts
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), addr, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"proc {i}: ok" in out

@@ -101,6 +101,43 @@ def test_engine_sharded_matches_single(params, rng):
         np.testing.assert_allclose(sharded[key], single[key], atol=1e-4, err_msg=key)
 
 
+def test_engine_sharded_volumes_match(params, rng):
+    """X-sharded accumulator volumes (memory-scalable mode) must produce
+    the same outputs as the replicated path."""
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    shape = (30, 26, 13)
+    vol = rng.random(shape).astype(np.float32)
+    af = (rng.random((24,) + shape) < 0.02).astype(np.float32)
+
+    single = SlidingWindowPredictor(
+        params, batch_size=8, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO,
+    ).predict_volume(vol, af)
+    pred = SlidingWindowPredictor(
+        params, batch_size=8, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO, mesh=make_mesh(), shard_volumes=True,
+    )
+    sharded = pred.predict_volume(vol, af)
+
+    for key in ("backbone_probability", "carbon_alpha_probability",
+                "amino_acid_probability"):
+        assert sharded[key].shape == single[key].shape, key
+        np.testing.assert_allclose(sharded[key], single[key], atol=1e-4,
+                                   err_msg=key)
+
+
+def test_engine_shard_volumes_requires_mesh(params):
+    with pytest.raises(ValueError):
+        SlidingWindowPredictor(
+            params, base_filters=BASE, shard_volumes=True,
+        )
+    with pytest.raises(ValueError):
+        SlidingWindowPredictor(
+            params, base_filters=BASE, mesh=make_mesh(),
+            blend="average", shard_volumes=True,
+        )
+
+
 def test_engine_empty_window_dedup(params, rng):
     """Volumes with empty regions: dedup path must match direct forward."""
     shape = (26, 26, 26)

@@ -41,6 +41,7 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     local_device_ids: Optional[Sequence[int]] = None,
+    shutdown_timeout_seconds: Optional[int] = None,
 ) -> None:
     """Connect this process to the distributed runtime (idempotent).
 
@@ -61,6 +62,10 @@ def initialize(
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
+    if shutdown_timeout_seconds is not None:
+        # cover straggler processes (e.g. an asymmetric compile-cache miss
+        # leaves one process minutes behind at the shutdown barrier)
+        kwargs["shutdown_timeout_seconds"] = shutdown_timeout_seconds
     jax.distributed.initialize(**kwargs)
     _initialized = True
     logger.info(

@@ -17,14 +17,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-m", "--map_path", required=True, help="cryo-EM density map")
     p.add_argument("-f", "--fasta_path", required=True, help="FASTA sequence file")
-    p.add_argument("-i", "--input_dir", required=True,
+    p.add_argument("-i", "--input_path", "--input_dir", dest="input_dir",
+                   required=True,
                    help="input directory (AF3_results, AF3_structures, docked model)")
     p.add_argument("-o", "--output_path", default="output")
     p.add_argument("--protocol", default="AF3_struct",
                    choices=["AF3_struct", "AF3_struct_free"])
-    p.add_argument("--resolution", type=float, default=3.0)
-    p.add_argument("--model_checkpoint", default="",
+    p.add_argument("-r", "--resolution", type=float, default=3.0)
+    p.add_argument("--model_path", "--model_checkpoint",
+                   dest="model_checkpoint", default="",
                    help="MICA network checkpoint (.pth torch or orbax dir)")
+    # reference drop-in compatibility: accepted, inert here (the TPU build
+    # has no CUDA device selection / fork pools; it is deterministic and
+    # parallel by construction — reference run.py:78-84)
+    p.add_argument("--device", default="", help=argparse.SUPPRESS)
+    p.add_argument("--no_parallel", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--quiet", action="store_true",
+                   help="reduce logging verbosity")
+    p.add_argument("--mul_proc_num", type=int, default=1, help=argparse.SUPPRESS)
     # algorithm knobs (defaults = reference run.py:46-97)
     p.add_argument("--cluster_eps", type=float, default=10)
     p.add_argument("--cluster_min_points", type=int, default=10)
@@ -62,12 +72,12 @@ def load_network_params(checkpoint: str):
 
 
 def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     logging.basicConfig(
-        level=logging.INFO,
+        level=logging.WARNING if args.quiet else logging.INFO,
         format="%(asctime)s - %(levelname)s - %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S",
     )
-    args = build_parser().parse_args(argv)
 
     from ..trace.solver import ModelingConfig, Solver
 

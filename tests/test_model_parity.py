@@ -10,6 +10,13 @@ import sys
 import numpy as np
 import pytest
 
+from pathlib import Path
+
+pytestmark = pytest.mark.skipif(
+    not Path("/root/reference/models/model.py").exists(),
+    reason="reference snapshot not available",
+)
+
 sys.path.insert(0, "/root/reference")
 
 torch = pytest.importorskip("torch")

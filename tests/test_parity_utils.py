@@ -29,6 +29,10 @@ def test_mask_dice_report(rng):
 
 
 def test_compare_with_torch_reference():
+    import pathlib
+
+    if not pathlib.Path("/root/reference/models/model.py").exists():
+        pytest.skip("reference snapshot not available")
     pytest.importorskip("torch")
     rep = compare_with_torch_reference(None, "/root/reference", n_windows=2)
     assert rep["bb_max_dev"] < 5e-4, rep

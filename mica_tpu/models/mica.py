@@ -437,6 +437,62 @@ class TaskHeadRest(nn.Module):
         )
 
 
+class FusedHeads(nn.Module):
+    """The three cascaded task heads computed over a shared fused conv1.
+
+    The heads share the FPN tensor as their dominant conv1 input; conv is
+    linear in its input channels, so conv1_ca([fpn, bb]) =
+    conv1_ca_fpn(fpn) + conv1_ca_bb(bb).  One fused 192-out conv shares
+    the conv data staging the three 64-out convs would each pay; the
+    cascaded 4/8-channel logit corrections are near-free convs summed
+    into the sliced outputs.  Declares no parameters (they are passed in
+    from the TaskHeadParams containers) so it can sit under ``nn.remat``
+    as one unit — the training backward then saves only the FPN tensor,
+    not the 192-channel fused conv output and head intermediates.
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, fpn, p_bb, p_ca, p_aa, dropout_rate: float,
+                 train: bool):
+        fpn_ch = fpn.shape[-1]
+        rest_bb = TaskHeadRest(4, dtype=self.dtype, name="backbone_rest")
+        rest_ca = TaskHeadRest(4, dtype=self.dtype, name="ca_rest")
+        rest_aa = TaskHeadRest(21, dtype=self.dtype, name="aa_rest")
+
+        k_big = jnp.concatenate(
+            [p_bb["conv1"][0],
+             p_ca["conv1"][0][:, :, :, :fpn_ch],
+             p_aa["conv1"][0][:, :, :, :fpn_ch]],
+            axis=-1,
+        )
+        big = conv_same(fpn, k_big, dtype=self.dtype)
+
+        h_bb = big[..., :64] + p_bb["conv1"][1].astype(big.dtype)
+        backbone = rest_bb(h_bb, p_bb, dropout_rate, train)
+
+        bb_f = backbone.astype(fpn.dtype)
+        h_ca = (
+            big[..., 64:128]
+            + conv_same(bb_f, p_ca["conv1"][0][:, :, :, fpn_ch:],
+                        dtype=self.dtype)
+            + p_ca["conv1"][1].astype(big.dtype)
+        )
+        ca = rest_ca(h_ca, p_ca, dropout_rate, train)
+
+        h_aa = (
+            big[..., 128:192]
+            + conv_same(
+                jnp.concatenate([bb_f, ca.astype(fpn.dtype)], axis=-1),
+                p_aa["conv1"][0][:, :, :, fpn_ch:], dtype=self.dtype,
+            )
+            + p_aa["conv1"][1].astype(big.dtype)
+        )
+        aa = rest_aa(h_aa, p_aa, dropout_rate, train)
+        return backbone, ca, aa
+
+
 class MICA(nn.Module):
     """Full multi-task network.
 
@@ -483,50 +539,13 @@ class MICA(nn.Module):
         p_ca = TaskHeadParams(fpn_ch + 4, 4, name="ca_head")()
         p_aa = TaskHeadParams(fpn_ch + 8, 21, name="aa_head")()
 
-        rest_cls = (
-            nn.remat(TaskHeadRest, static_argnums=(3, 4)) if self.remat
-            else TaskHeadRest
+        heads_cls = (
+            nn.remat(FusedHeads, static_argnums=(5, 6)) if self.remat
+            else FusedHeads
         )
-        rest_bb = rest_cls(4, dtype=self.dtype, name="backbone_rest")
-        rest_ca = rest_cls(4, dtype=self.dtype, name="ca_rest")
-        rest_aa = rest_cls(21, dtype=self.dtype, name="aa_rest")
-
-        # The three heads share the FPN tensor as their dominant conv1
-        # input; conv is linear in its input channels, so
-        # conv1_ca([fpn, bb]) = conv1_ca_fpn(fpn) + conv1_ca_bb(bb).
-        # One fused 192-out conv shares the conv data staging the three
-        # 64-out convs would each pay; the cascaded 4/8-channel logit
-        # corrections are near-free convs summed into the sliced outputs.
-        k_big = jnp.concatenate(
-            [p_bb["conv1"][0],
-             p_ca["conv1"][0][:, :, :, :fpn_ch],
-             p_aa["conv1"][0][:, :, :, :fpn_ch]],
-            axis=-1,
+        return heads_cls(dtype=self.dtype, name="heads")(
+            fpn, p_bb, p_ca, p_aa, head_rate, train
         )
-        big = conv_same(fpn, k_big, dtype=self.dtype)
-
-        h_bb = big[..., :64] + p_bb["conv1"][1].astype(big.dtype)
-        backbone = rest_bb(h_bb, p_bb, head_rate, train)
-
-        bb_f = backbone.astype(fpn.dtype)
-        h_ca = (
-            big[..., 64:128]
-            + conv_same(bb_f, p_ca["conv1"][0][:, :, :, fpn_ch:],
-                        dtype=self.dtype)
-            + p_ca["conv1"][1].astype(big.dtype)
-        )
-        ca = rest_ca(h_ca, p_ca, head_rate, train)
-
-        h_aa = (
-            big[..., 128:192]
-            + conv_same(
-                jnp.concatenate([bb_f, ca.astype(fpn.dtype)], axis=-1),
-                p_aa["conv1"][0][:, :, :, fpn_ch:], dtype=self.dtype,
-            )
-            + p_aa["conv1"][1].astype(big.dtype)
-        )
-        aa = rest_aa(h_aa, p_aa, head_rate, train)
-        return backbone, ca, aa
 
 
 def dropout_rate_for_epoch(epoch: int, schedule=(0.01, 0.05, 0.1)) -> float:

@@ -86,8 +86,13 @@ def multiscale_stem_conv(
     dt = compute_dtype or x.dtype
 
     if all(d % 2 == 0 for d in x.shape[1:4]):
+        # allow_pallas doubles as the "inference path" marker (the model
+        # passes not-train): the f32-accumulated conv variant fuses better
+        # downstream but its VJP mixes dtypes under grad, so the training
+        # path takes the plain-dtype conv
         return multiscale_stem_conv_s2d(x, kernels, biases, s=2,
-                                        compute_dtype=dt)
+                                        compute_dtype=dt,
+                                        f32_out=allow_pallas)
 
     combined = jnp.concatenate(
         [
@@ -203,6 +208,7 @@ def multiscale_stem_conv_s2d(
     biases: Sequence[jnp.ndarray],
     s: int = 2,
     compute_dtype=None,
+    f32_out: bool = True,
 ) -> jnp.ndarray:
     """Space-to-depth formulation of the fused multi-scale stem.
 
@@ -224,17 +230,24 @@ def multiscale_stem_conv_s2d(
     assert d % s == 0 and h % s == 0 and w % s == 0, (d, h, w, s)
     xf = _fold_s2d(xin, s)
     kf = _fold_kernel_s2d(combined, s)
+    # ``f32_out``: emit f32 from the MXU (fuses into the downstream f32
+    # attention math; measured faster at inference) — but its VJP calls a
+    # transposed conv on mixed f32/bf16 args (TypeError under grad), so
+    # the training path emits the compute dtype directly (the MXU
+    # accumulates in f32 internally either way).
     out = jax.lax.conv_general_dilated(
         xf,
         kf,
         window_strides=(1, 1, 1),
         padding="SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if f32_out else None,
         precision="highest" if dt == jnp.float32 else None,
     )
     out = _unfold_s2d(out, s)
-    return (out + bias.astype(jnp.float32)).astype(dt)
+    if f32_out:
+        return (out + bias.astype(jnp.float32)).astype(dt)
+    return out + bias.astype(out.dtype)
 
 
 def depthwise_conv3_dense(x: jnp.ndarray, kernel: jnp.ndarray,

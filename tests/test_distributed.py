@@ -176,7 +176,9 @@ def test_two_host_training_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1200)
+            # generous: the SPMD step cold-compiles for minutes on this
+            # single-core host, slower still under full-suite contention
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -136,6 +136,21 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0], f"no learning: {losses}"
 
 
+def test_train_step_bfloat16():
+    """The production TPU training dtype: one bf16 step with augmentation
+    and dropout (the bf16 grad path broke once on a mixed-dtype conv VJP)."""
+    trainer = Trainer(base_filters=16, dtype=jnp.bfloat16, use_mesh=True,
+                      use_augmentation=True)
+    size = 16
+    state = trainer.init_state((1, size, size, size, 1))
+    batch = data.synthetic_batch(batch_size=8, size=size)
+    step = trainer.train_step_for_epoch(0)
+    lambdas = jnp.asarray(loss_mod.task_lambdas(0), jnp.float32)
+    state, metrics = step(state, tuple(jnp.asarray(b) for b in batch),
+                          lambdas, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_validation_runs():
     trainer = Trainer(base_filters=16, use_mesh=True, use_augmentation=False)
     size = 16

@@ -150,6 +150,7 @@ class SlidingWindowPredictor:
         self._gather = {}
         self._scatter = None
         self._scatter_sharded = {}
+        self._zero_cores = {}
         self._shardings = None
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -486,12 +487,17 @@ class SlidingWindowPredictor:
 
         if len(empty_starts):
             # one forward on the all-zero window, broadcast into every
-            # empty position (identical inputs -> identical outputs)
-            zero_wins = jnp.zeros((bsz, win, win, win, 1), jnp.float32)
-            zero_afs = (
-                jnp.zeros((bsz, win, win, win), jnp.uint32) if with_af else None
-            )
-            z_cores = model_step(self.params, zero_wins, zero_afs)
+            # empty position (identical inputs -> identical outputs);
+            # cached across maps — same params, same all-zero input
+            z_cores = self._zero_cores.get(with_af)
+            if z_cores is None:
+                zero_wins = jnp.zeros((bsz, win, win, win, 1), jnp.float32)
+                zero_afs = (
+                    jnp.zeros((bsz, win, win, win), jnp.uint32)
+                    if with_af else None
+                )
+                z_cores = model_step(self.params, zero_wins, zero_afs)
+                self._zero_cores[with_af] = z_cores
             n_pad_e = (-len(empty_starts)) % bsz
             if n_pad_e:
                 empty_starts = np.concatenate(

@@ -332,7 +332,7 @@ class FPN(nn.Module):
             "FPN expects equal spatial shapes (stride-1 network)"
         )
         w = self.param("weights", nn.initializers.constant(1.0 / 3.0), (3,), jnp.float32)
-        w = jax.nn.softmax(w).astype(c3.dtype)
+        w = jax.nn.softmax(w)
 
         p3 = Conv(self.base, 1, dtype=self.dtype, name="lateral0")(c3)
         p4 = Conv(self.base, 1, dtype=self.dtype, name="lateral1")(c4)
@@ -341,13 +341,17 @@ class FPN(nn.Module):
         drop = ChannelDropout()
         smoothed = []
         for i, p in enumerate((p3, p4, p5)):
-            s = Conv(self.base, 3, dtype=self.dtype, name=f"smooth{i}")(p)
+            # the learned fusion weight folds into the conv parameters:
+            # w*(conv_{k,b}(p)) == conv_{w*k, w*b}(p), and channel dropout
+            # commutes with the scalar — saves three full-tensor multiply
+            # passes vs weighting after the conv
+            k, b = _NamedConvParams((3, 3, 3, self.base, self.base),
+                                    self.base, name=f"smooth{i}")()
+            s = conv_same(p, k * w[i], b * w[i], dtype=self.dtype)
             s = drop(s, dropout_rate * 0.5, train)
             smoothed.append(s)
 
-        return jnp.concatenate(
-            [w[0] * smoothed[0], w[1] * smoothed[1], w[2] * smoothed[2]], axis=-1
-        )
+        return jnp.concatenate(smoothed, axis=-1)
 
 
 class _NamedConvParams(nn.Module):

@@ -31,6 +31,7 @@ expect):
 
 from __future__ import annotations
 
+import functools
 import math
 from pathlib import Path
 from typing import Dict, Optional, Tuple
@@ -336,10 +337,13 @@ class MaskDecoder(nn.Module):
 
 
 class ConfidenceHead(nn.Module):
-    """Per-domain confidence GRU (mask_decoder.py:137-150, 203-213).
+    """Per-domain confidence GRU (mask_decoder.py:135-142, 203-213).
 
-    Applied per variable-length domain on host via ``apply`` with the
-    domain's mask rows.
+    The torch conf_gru is ``batch_first=True``, so
+    ``domain_masks[:, dom_ids == d]`` (1, n_d, K) runs the GRU ALONG the
+    domain's residues; ``conf_out(h_n[-1:]).flatten().clamp(0, 1)`` is
+    ONE value per domain (last layer's reverse-direction final hidden),
+    broadcast to the domain's residues by the caller.  Returns a scalar.
     """
 
     @nn.compact
@@ -388,52 +392,80 @@ def clean_domains(dom_ids: np.ndarray, min_num: int) -> np.ndarray:
 
 
 def _segment_lengths(dom_ids: np.ndarray) -> np.ndarray:
-    """Per-residue length of the contiguous same-id segment it belongs to."""
+    """Reference-exact transcription of get_segment_length
+    (utils.py:205-227), INCLUDING its off-by-one: the counter resets to 0
+    (not 1) at each segment boundary, so every segment after the first
+    reports length-1 — which is what clean_singletons' thresholds
+    actually compare against in the reference (its docstring example does
+    not match its code).  A trailing single-element segment keeps the
+    initial count of 1."""
     n = len(dom_ids)
-    out = np.zeros(n, np.int64)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and dom_ids[j] == dom_ids[i]:
-            j += 1
-        out[i:j] = j - i
-        i = j
-    return out
+    counts = np.ones(n, np.int64)
+    counter, _idx, idx = 1, 0, 0
+    for i in range(n):
+        if i == 0:
+            counter, _idx, idx = 1, 0, 0
+        elif dom_ids[i] == dom_ids[i - 1]:
+            counter += 1
+            idx = i
+        else:
+            counts[_idx : idx + 1] = counter
+            counter = 0
+            _idx = i
+        if i == n - 1:
+            counts[_idx : idx + 1] = counter
+    return counts
 
 
 def clean_singletons(dom_ids: np.ndarray, threshold: int) -> np.ndarray:
-    """utils.py:230-273 behavior: short terminal stretches assimilate into
-    the first/last long domain; short internal segments split between their
-    neighbors."""
-    dom_ids = dom_ids.copy()
+    """Reference-exact port of utils.py:230-273 (verified against it):
+
+    * terminal stretches up to AND INCLUDING the first long-or-background
+      residue assimilate into the id of the residue after it
+      (assimilate_short_terminal, utils.py:184-202);
+    * short INTERNAL stretches — background included (the reference's
+      ``* (dom_ids == 0)`` is commented out) — divide between the
+      preceding and following segment at their median position;
+    * segment lengths are computed ONCE up front and reused by all three
+      stages (reference quirk: the internal stage sees pre-assimilation
+      lengths).
+    """
+    dom_ids = np.asarray(dom_ids).copy()
     n = len(dom_ids)
     seg_len = _segment_lengths(dom_ids)
 
-    # N-terminal: find first long (or background) segment, absorb before it
-    i = 0
-    while i < n and not (seg_len[i] >= threshold or dom_ids[i] == 0):
-        i += 1
-    if 0 < i < n:
-        dom_ids[:i] = dom_ids[i]
-    # C-terminal
-    j = n - 1
-    while j >= 0 and not (seg_len[j] >= threshold or dom_ids[j] == 0):
-        j -= 1
-    if 0 <= j < n - 1:
-        dom_ids[j + 1:] = dom_ids[j]
+    def assimilate(ids, sl, c_term):
+        if c_term:
+            ids, sl = ids[::-1].copy(), sl[::-1]
+        brk = None
+        for i in range(len(ids)):
+            if sl[i] >= threshold or ids[i] == 0:
+                brk = i
+                break
+        if brk is not None and brk + 1 < len(ids):
+            ids[: brk + 1] = ids[brk + 1]
+        return ids[::-1].copy() if c_term else ids
 
-    # internal short segments: split between neighbors
-    seg_len = _segment_lengths(dom_ids)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and dom_ids[j] == dom_ids[i]:
-            j += 1
-        if (j - i) < threshold and i > 0 and j < n and dom_ids[i] != 0:
-            mid = (i + j) // 2
-            dom_ids[i:mid] = dom_ids[i - 1]
+    dom_ids = assimilate(dom_ids, seg_len, c_term=False)
+    dom_ids = assimilate(dom_ids, seg_len, c_term=True)
+
+    short = seg_len < threshold
+    non_short = np.where(~short)[0]
+    if len(non_short):
+        short[: non_short[0]] = False
+        short[non_short[-1]:] = False
+        i = 0
+        while i < n:
+            if not short[i]:
+                i += 1
+                continue
+            j = i
+            while j < n and short[j]:
+                j += 1
+            mid = (i + j - 1) // 2  # torch.median = lower median index
+            dom_ids[i : mid + 1] = dom_ids[i - 1]
             dom_ids[mid:j] = dom_ids[j]
-        i = j
+            i = j
     return dom_ids
 
 
@@ -638,9 +670,18 @@ def torch_state_dict_to_params(sd: Dict[str, np.ndarray]) -> dict:
     return {"merizo": params, "confidence": conf}
 
 
-def load_weights(directory: str) -> dict:
-    """Split shards -> flax parameter trees (merizo + confidence head)."""
+@functools.lru_cache(maxsize=2)
+def _load_weights_cached(directory: str) -> dict:
     return torch_state_dict_to_params(read_split_weight_files(directory))
+
+
+def load_weights(directory: str) -> dict:
+    """Split shards -> flax parameter trees (merizo + confidence head).
+
+    Cached per directory: processing an AF3 result calls the segmenter
+    once per chain, and re-reading the multi-hundred-MB shard set each
+    time is pure re-work."""
+    return _load_weights_cached(str(directory))
 
 
 # ===========================================================================
@@ -670,7 +711,7 @@ def domain_confidences(params: dict, mask_logits: np.ndarray,
     for d in np.unique(dom_ids[dom_ids != 0]):
         rows = mask_logits[dom_ids == d]
         c = head.apply({"params": params["confidence"]}, jnp.asarray(rows))
-        conf[dom_ids == d] = float(np.asarray(c)[0])
+        conf[dom_ids == d] = np.asarray(c, np.float32)
     return conf
 
 

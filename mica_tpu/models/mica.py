@@ -197,11 +197,15 @@ class MultiScaleInput(nn.Module):
         ]
         # one fused patch matmul replaces the four Cin=1 convs: Pallas
         # kernel at inference, XLA formulation under training (grad path)
+        # f32_out: the f32-accumulated stem conv fuses better into the
+        # downstream f32 attention math at inference, but its VJP mixes
+        # dtypes under grad -- the training path emits the compute dtype
         x_exp = multiscale_stem_conv(
             exp_map,
             [p[0] for p in stem_params],
             [p[1] for p in stem_params],
             allow_pallas=not train,
+            f32_out=not train,
         )  # 2*base channels
 
         # SE-style attention over the multi-scale features

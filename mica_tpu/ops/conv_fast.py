@@ -65,6 +65,7 @@ def multiscale_stem_conv(
     biases: Sequence[jnp.ndarray],
     compute_dtype=None,
     allow_pallas: bool = True,
+    f32_out: bool = True,
 ) -> jnp.ndarray:
     """Fused multi-scale Cin=1 convs: x (B,D,H,W,1) -> (B,D,H,W, sum(Cout)).
 
@@ -86,13 +87,8 @@ def multiscale_stem_conv(
     dt = compute_dtype or x.dtype
 
     if all(d % 2 == 0 for d in x.shape[1:4]):
-        # allow_pallas doubles as the "inference path" marker (the model
-        # passes not-train): the f32-accumulated conv variant fuses better
-        # downstream but its VJP mixes dtypes under grad, so the training
-        # path takes the plain-dtype conv
         return multiscale_stem_conv_s2d(x, kernels, biases, s=2,
-                                        compute_dtype=dt,
-                                        f32_out=allow_pallas)
+                                        compute_dtype=dt, f32_out=f32_out)
 
     combined = jnp.concatenate(
         [

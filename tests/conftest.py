@@ -18,8 +18,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 # Persistent compilation cache: repeat test runs skip recompiles (the test
-# host has a single CPU core, where XLA compiles are expensive).
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+# host has a single CPU core, where XLA compiles are expensive).  The path
+# must be user-writable — a hardcoded /root/.cache breaks silently (jax
+# downgrades the PermissionError to per-compile warnings) on CI runners.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Belt and braces: jax may already be imported by a pytest plugin before this

@@ -100,6 +100,71 @@ def test_merizo_forward_parity(torch_merizo, jax_params):
     np.testing.assert_allclose(j_conf, t_conf, atol=5e-3)
 
 
+def test_domain_confidences_nonzero_domains(torch_merizo, jax_params):
+    """The confidence path with actual domains (the full-forward parity
+    test exercises it only when random weights happen to segment, i.e.
+    never) — per-residue confidences must match the torch conf head
+    (mask_decoder.py:203-213: batch-second GRU, sequence length 1)."""
+    rng = np.random.default_rng(5)
+    rows = rng.normal(size=(40, 20)).astype(np.float32)
+    dom_ids = np.array([1] * 25 + [0] * 5 + [2] * 10)
+
+    j_conf = jmz.domain_confidences(jax_params, rows, dom_ids)
+    assert j_conf.shape == (40,)
+    assert (j_conf[dom_ids == 0] == 0).all()
+    assert ((j_conf >= 0) & (j_conf <= 1)).all()
+
+    dh = torch_merizo.decoder_head
+    t_conf = np.zeros(40, np.float32)
+    with torch.no_grad():
+        masks_t = torch.from_numpy(rows).unsqueeze(0)  # (1, n, K)
+        for d in (1, 2):
+            dom = masks_t[:, dom_ids == d]
+            c = (dh.conf_out(dh.conf_gru(dom)[1][-1:, :, :])
+                 .flatten().clamp(min=0, max=1))
+            t_conf[dom_ids == d] = c.numpy()
+    np.testing.assert_allclose(j_conf, t_conf, atol=5e-4)
+
+
+def test_clean_singletons_reference_parity():
+    """Reference-exact edge cases (utils.py:184-273): terminal runs
+    assimilate THROUGH the first long-or-background residue; short
+    internal background stretches divide between their neighbors; segment
+    lengths reproduce get_segment_length's off-by-one (segments after the
+    first count length-1)."""
+    # short N-terminal run ending at a background residue assimilates
+    # into the following domain (including the background residue)
+    ids = np.array([5, 5, 5, 0] + [7] * 50)
+    out = jmz.clean_singletons(ids.copy(), 10)
+    assert (out == 7).all(), out
+
+    # short internal background stretch divides between the two domains
+    ids = np.array([1] * 20 + [0, 0, 0] + [2] * 20)
+    out = jmz.clean_singletons(ids.copy(), 10)
+    assert (out[:21] == 1).all() and (out[21:] == 2).all(), out
+
+    # oracle comparison against the actual reference implementation
+    from model.utils.utils import (  # noqa: E402
+        clean_singletons as ref_clean,
+        get_segment_length as ref_seglen,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        segs = []
+        for _ in range(rng.integers(2, 7)):
+            segs += [int(rng.integers(0, 5))] * int(rng.integers(1, 30))
+        ids = np.array(segs)
+        np.testing.assert_array_equal(
+            jmz._segment_lengths(ids),
+            ref_seglen(torch.from_numpy(ids.copy())).numpy(),
+            err_msg=str(ids),
+        )
+        ref = ref_clean(torch.from_numpy(ids.copy()), 10).numpy()
+        got = jmz.clean_singletons(ids.copy(), 10)
+        np.testing.assert_array_equal(got, ref, err_msg=str(ids))
+
+
 def test_split_weight_roundtrip(tmp_path, torch_merizo):
     """read_split_weight_files: shards merge back to the full state dict
     (predict.py:123-146 semantics)."""

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..ops.kabsch import rmsd_batch, superpose
 from .candidates import Candidates
+from .sparse import SparseHopMatrix
 from .nhop import n_hop_matrix, propagate_scores
 from .types import AlignedFragment, SequenceEntry, build_seq_cand_aa_mat
 
@@ -67,7 +68,7 @@ class AF3AlignState:
     entries: List[SequenceEntry]
     cands: Candidates
     seq_cand_aa_mat: np.ndarray  # (F, L, N)
-    n_hop_mat: np.ndarray
+    n_hop_mat: "SparseHopMatrix | np.ndarray"
     seq_struct_align_score: Optional[np.ndarray] = None
     register_scores: Optional[List[float]] = None
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..ops.kabsch import superpose
 from .candidates import Candidates
+from .sparse import SparseHopMatrix
 from .nhop import propagate_scores
 from .types import SequenceEntry
 
@@ -36,7 +37,7 @@ class Assembler:
         entries: Sequence[SequenceEntry],
         cands: Candidates,
         seq_cand_aa_mat: np.ndarray,
-        n_hop_mat: np.ndarray,
+        n_hop_mat: "SparseHopMatrix | np.ndarray",
         protocol: str = "AF3_struct",
     ):
         self.entries = list(entries)

@@ -45,8 +45,8 @@ class Candidates:
     aa_pred: np.ndarray  # (N,) argmax type 0..19 at the rounded position
     # lazy/sparse (N, N)-indexable structures (trace/sparse.py): dense
     # matrices at 20k candidates are 3.2 GB each (see VERDICT weak #7)
-    dist: object  # PairwiseDistances — dense-style indexing
-    neigh_mat: object  # SparsePairScores — dense-style indexing, 0 default
+    dist: "PairwiseDistances"  # dense-style indexing, computed lazily
+    neigh_mat: "SparsePairScores"  # dense-style indexing, 0 default
     neighbors2to6: List[np.ndarray]
     neighbors0to6: List[np.ndarray]
     neighbors2to7: List[np.ndarray]

@@ -25,8 +25,19 @@ from .sparse import SparseHopMatrix
 
 
 def path_walk(src: int, n_hop: int, best_neigh: Sequence[Sequence[int]],
-              neigh_mat) -> List[dict]:
-    """Per-source exhaustive walk; returns one {dst: score} dict per hop."""
+              neigh_mat, edge_scores: Sequence[Sequence[float]] = None
+              ) -> List[dict]:
+    """Per-source exhaustive walk; returns one {dst: score} dict per hop.
+
+    ``edge_scores[i][k]`` pre-resolves ``max(neigh_mat[i, best_neigh[i][k]],
+    0.1)`` — the walk enumerates exponentially many paths, and a sparse
+    scalar ``neigh_mat`` lookup per edge (searchsorted over the nnz array)
+    measured 5-7x slower than reading a precomputed list."""
+    if edge_scores is None:
+        edge_scores = [
+            [max(neigh_mat[i, nb], 0.1) for nb in nbs]
+            for i, nbs in enumerate(best_neigh)
+        ]
     traces = [[src]]
     scores = [1.0]
     results: List[dict] = []
@@ -34,11 +45,11 @@ def path_walk(src: int, n_hop: int, best_neigh: Sequence[Sequence[int]],
         new_traces, new_scores = [], []
         for trace, score in zip(traces, scores):
             last = trace[-1]
-            for nb in best_neigh[last]:
+            for nb, es in zip(best_neigh[last], edge_scores[last]):
                 if nb in trace:
                     continue
                 new_traces.append(trace + [nb])
-                new_scores.append(score * max(neigh_mat[last, nb], 0.1))
+                new_scores.append(score * es)
         if not new_traces:
             break
         row: dict = {}
@@ -55,10 +66,14 @@ def n_hop_matrix(best_neigh: Sequence[Sequence[int]], neigh_mat,
                  n_hop: int = 6) -> SparseHopMatrix:
     """Row-sparse (n_hop, N, N) normalized reachability stack."""
     n = len(best_neigh)
+    edge_scores = [
+        [max(neigh_mat[i, nb], 0.1) for nb in nbs]
+        for i, nbs in enumerate(best_neigh)
+    ]
     rows: List[List[dict]] = [[] for _ in range(n_hop)]
     max_width = [1] * n_hop
     for src in range(n):
-        walked = path_walk(src, n_hop, best_neigh, neigh_mat)
+        walked = path_walk(src, n_hop, best_neigh, neigh_mat, edge_scores)
         for h in range(n_hop):
             row = walked[h] if h < len(walked) else {}
             rows[h].append(row)
@@ -75,7 +90,7 @@ def n_hop_matrix(best_neigh: Sequence[Sequence[int]], neigh_mat,
             for slot, (dst, val) in enumerate(row.items()):
                 indices[h, src, slot] = dst
                 values[h, src, slot] = val / total
-    return SparseHopMatrix(indices, values, n)
+    return SparseHopMatrix(indices, values, n, widths=max_width)
 
 
 def propagate_scores(base: np.ndarray, n_hop_mat: SparseHopMatrix,
@@ -92,10 +107,13 @@ def propagate_scores(base: np.ndarray, n_hop_mat: SparseHopMatrix,
     — a blocked sparse gather (the dense formulation is a stack of
     (L, N) @ (N, N) matmuls, quadratic in N).
     """
+    L = base.shape[1]
     if isinstance(n_hop_mat, np.ndarray):  # dense fallback (tests/tools)
         out = base.copy()
         for h in range(n_hop_mat.shape[0]):
             k = h + 1
+            if k >= L:  # offset beyond the sequence: zero contribution
+                break
             fwd = np.pad(base[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
             bwd = np.pad(base[:, k:, :], [(0, 0), (0, k), (0, 0)])
             out += fwd @ n_hop_mat[h].T + bwd @ n_hop_mat[h].T
@@ -105,14 +123,22 @@ def propagate_scores(base: np.ndarray, n_hop_mat: SparseHopMatrix,
     n = n_hop_mat.n
     base32 = np.asarray(base, np.float32)
     out = base32.copy()
+    n_fasta = base32.shape[0]
     for h in range(n_hop):
         k = h + 1
+        if k >= L:  # offset beyond the sequence: zero contribution
+            break
         comb = np.pad(base32[:, :-k, :], [(0, 0), (k, 0), (0, 0)])
         comb += np.pad(base32[:, k:, :], [(0, 0), (0, k), (0, 0)])
-        idx_h = n_hop_mat.indices[h]
-        val_h = n_hop_mat.values[h]
-        for ofs in range(0, n, block):
-            sl = slice(ofs, min(ofs + block, n))
+        w = n_hop_mat.widths[h]
+        idx_h = n_hop_mat.indices[h, :, :w]
+        val_h = n_hop_mat.values[h, :, :w]
+        # bound the (F, L, B, K) gather temporary to ~256 MB regardless of
+        # sequence length and hop width
+        block_h = max(64, min(block,
+                              256 * 2 ** 20 // max(1, n_fasta * L * w * 4)))
+        for ofs in range(0, n, block_h):
+            sl = slice(ofs, min(ofs + block_h, n))
             gathered = comb[:, :, idx_h[sl]]            # (F, L, B, K)
             out[:, :, sl] += np.einsum(
                 "flbk,bk->flb", gathered, val_h[sl]

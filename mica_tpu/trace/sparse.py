@@ -48,7 +48,6 @@ class SparsePairScores:
         order = np.argsort(keys, kind="stable")
         self._keys = keys[order]
         self._vals = np.asarray(vals, np.float64)[order]
-        self._rows = ii[order]
 
     @classmethod
     def from_dense(cls, mat: np.ndarray) -> "SparsePairScores":
@@ -57,6 +56,10 @@ class SparsePairScores:
 
     def __getitem__(self, idx):
         i, j = idx
+        # numpy negative-index semantics (the dense matrix this replaces
+        # supported them; naive keying would alias (i, -1) to (i-1, n-1))
+        i = np.where(np.asarray(i) < 0, np.asarray(i) + self.n, i)
+        j = np.where(np.asarray(j) < 0, np.asarray(j) + self.n, j)
         k = np.asarray(i, np.int64) * self.n + np.asarray(j, np.int64)
         scalar = k.ndim == 0
         kf = np.atleast_1d(k).ravel()
@@ -90,20 +93,28 @@ class SparseHopMatrix:
     branching of the best-neighbor walk (<= 2^(h+1) before dst merging), so
     rows are stored padded to the per-hop max width:
     ``indices`` (n_hop, N, K) int32 and ``values`` (n_hop, N, K) float32
-    (padding: index 0 with value 0).
+    (padding: index 0 with value 0).  ``widths[h]`` is the true max row
+    width of hop h — consumers slice ``indices[h, :, :widths[h]]`` so
+    early hops (width <= 2) are not processed at the deepest hop's K.
     """
 
-    def __init__(self, indices: np.ndarray, values: np.ndarray, n: int):
+    def __init__(self, indices: np.ndarray, values: np.ndarray, n: int,
+                 widths=None):
         self.indices = indices
         self.values = values
         self.n = n
         self.shape = (indices.shape[0], n, n)
+        self.widths = (
+            list(widths) if widths is not None
+            else [indices.shape[2]] * indices.shape[0]
+        )
 
     def hop_dense(self, h: int) -> np.ndarray:
+        w = self.widths[h]
         out = np.zeros((self.n, self.n))
-        src = np.repeat(np.arange(self.n), self.indices.shape[2])
-        np.maximum.at(out, (src, self.indices[h].ravel()),
-                      self.values[h].ravel())
+        src = np.repeat(np.arange(self.n), w)
+        np.maximum.at(out, (src, self.indices[h, :, :w].ravel()),
+                      self.values[h, :, :w].ravel())
         return out
 
     def todense(self) -> np.ndarray:

@@ -82,6 +82,30 @@ def test_nhop_matrix_properties(cands):
     np.testing.assert_allclose(sparse_out, dense_out, atol=1e-4)
 
 
+def test_propagate_scores_short_sequence(cands):
+    """Sequences shorter than n_hop+1 must not crash (hops whose offset
+    exceeds the sequence contribute nothing); sparse == dense."""
+    mat = nhop.n_hop_matrix(cands.best_neigh, cands.neigh_mat, n_hop=6)
+    rng = np.random.default_rng(1)
+    for L in (1, 3, 5):
+        base = rng.random((2, L, len(cands))).astype(np.float32)
+        sparse_out = nhop.propagate_scores(base, mat)
+        dense_out = nhop.propagate_scores(base, mat.todense())
+        np.testing.assert_allclose(sparse_out, dense_out, atol=1e-4)
+
+
+def test_sparse_pair_scores_negative_indices(cands):
+    """numpy negative-index semantics (the dense matrix supported them)."""
+    n = len(cands)
+    dense = cands.neigh_mat.todense()
+    assert cands.neigh_mat[0, -1] == dense[0, n - 1]
+    assert cands.neigh_mat[-1, 0] == dense[n - 1, 0]
+    np.testing.assert_allclose(
+        cands.neigh_mat[np.array([0, -1]), np.array([-2, -1])],
+        dense[np.array([0, -1]), np.array([-2, -1])],
+    )
+
+
 def test_fragments_cover_chain(scenario, cands):
     ca, _, _ = scenario
     frags = build_fragments(cands)

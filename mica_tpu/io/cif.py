@@ -81,8 +81,15 @@ def parse_cif_atoms(path_or_text: Union[str, Path],
                 serial = int(rec.get("id", "0"))
             except ValueError:
                 serial = 0
-            occ = float(rec.get("occupancy", "1") or 1)
-            bf = float(rec.get("B_iso_or_equiv", "0") or 0)
+            # '.'/'?' are mmCIF null tokens — default like the other fields
+            try:
+                occ = float(rec.get("occupancy", "1"))
+            except ValueError:
+                occ = 1.0
+            try:
+                bf = float(rec.get("B_iso_or_equiv", "0"))
+            except ValueError:
+                bf = 0.0
             rows.append(
                 (
                     serial,

@@ -25,8 +25,9 @@ _NUCLEIC_LETTERS = {"A", "U", "T", "G", "C"}
 class FastaEntry:
     name: str  # unique name (deduplicated with _1, _2... suffixes)
     header: str  # full header line without '>'
-    sequence: str
+    sequence: str  # non-protein letters rewritten to A (modeler alphabet)
     chain_ids: List[str]
+    raw_sequence: str = ""  # as read from the file (AF3 JSON removes X)
 
 
 def _parse_chain_ids(header: str) -> List[str]:
@@ -105,16 +106,18 @@ def parse_fasta(path_or_text: Union[str, Path]) -> List[FastaEntry]:
                 if cid not in used_chain_ids:
                     chain_ids = [cid]
                     break
-        # Resolve collisions deterministically.
+        # Resolve collisions deterministically (len check: substring
+        # membership would accept multi-char IDs like "AB").
         resolved = []
         for cid in chain_ids:
-            if cid not in CHAIN_IDS or cid in used_chain_ids:
+            if len(cid) != 1 or cid not in CHAIN_IDS or cid in used_chain_ids:
                 cid = next(c for c in CHAIN_IDS if c not in used_chain_ids)
             used_chain_ids.append(cid)
             resolved.append(cid)
 
         entries.append(
-            FastaEntry(name=name, header=e.header, sequence=seq, chain_ids=resolved)
+            FastaEntry(name=name, header=e.header, sequence=seq,
+                       chain_ids=resolved, raw_sequence=e.sequence)
         )
     return entries
 

@@ -102,17 +102,19 @@ class MrcVolume:
         create_grids.py:119-122 and uses it as the voxel->Angstrom shift
         when emitting PDB coordinates.
         """
+        order = self.xyz_order()
+        h = self.header
+        start_of_dim = [float(h.nzstart), float(h.nystart), float(h.nxstart)]
+        offset = [start_of_dim[d] for d in order]
+        return np.transpose(self.data, order), np.asarray(offset, dtype=np.float64)
+
+    def xyz_order(self) -> list:
+        """Data-dim permutation such that ``transpose(data, order)`` is the
+        canonical ``[x, y, z]`` layout; invert with ``np.argsort(order)``."""
         h = self.header
         # crystal axis (0-based) of each data dim: dim0=sections, 1=rows, 2=cols
         axis_of_dim = [h.maps - 1, h.mapr - 1, h.mapc - 1]
-        start_of_dim = [float(h.nzstart), float(h.nystart), float(h.nxstart)]
-        order, offset = [], []
-        for crystal_axis in range(3):
-            for dim in range(3):
-                if axis_of_dim[dim] == crystal_axis:
-                    order.append(dim)
-                    offset.append(start_of_dim[dim])
-        return np.transpose(self.data, order), np.asarray(offset, dtype=np.float64)
+        return [axis_of_dim.index(a) for a in range(3)]
 
     @property
     def origin_xyz(self) -> np.ndarray:
@@ -168,6 +170,10 @@ def read_mrc(path: Union[str, Path]) -> MrcVolume:
     data = flat.reshape(nz, ny, nx)
     if bo == ">":
         data = data.astype(data.dtype.newbyteorder("<"))
+    else:
+        # frombuffer over bytes is read-only; copy so data is writable
+        # regardless of file endianness (the BE branch copies via astype)
+        data = data.copy()
 
     header = MrcHeader(
         nx=nx, ny=ny, nz=nz, mode=mode,

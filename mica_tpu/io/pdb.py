@@ -155,11 +155,12 @@ def select(atoms: np.ndarray, name: Optional[str] = None,
 
 
 def chains(atoms: np.ndarray) -> List[str]:
-    seen: List[str] = []
-    for c in atoms["chain"]:
-        if c not in seen:
-            seen.append(c)
-    return seen
+    """Chain IDs in first-occurrence order (vectorized: the per-atom
+    Python loop took seconds on million-atom assemblies)."""
+    if len(atoms) == 0:
+        return []
+    uniq, first = np.unique(atoms["chain"], return_index=True)
+    return [str(c) for c in uniq[np.argsort(first)]]
 
 
 def chain_sequence(atoms: np.ndarray, chain: str) -> str:
@@ -177,6 +178,11 @@ def format_atom_line(
     if not element:
         element = name[:1]
     chain = str(chain)[:1] or " "  # PDB format: single chain-ID column
+    # fixed-width columns: overflowing values would shift every later
+    # column and corrupt round-trip parses — wrap like most PDB writers
+    serial = serial % 100000
+    if res_id > 9999 or res_id < -999:
+        res_id = res_id % 10000
     if len(name) < 4:
         name_field = f" {name:<3s}"
     else:

@@ -19,8 +19,14 @@ logger = logging.getLogger(__name__)
 
 
 def entry_to_af3_json(entry: FastaEntry) -> Optional[list]:
-    """One FASTA entry -> AF3 server JSON payload (list of one job)."""
-    cleaned = entry.sequence.replace("X", "").replace("x", "")
+    """One FASTA entry -> AF3 server JSON payload (list of one job).
+
+    X residues are REMOVED from the submitted sequence (the reference's
+    fasta_to_AF3_json.py behavior) — they must come from the raw
+    sequence, since parse_fasta rewrites non-protein letters to A for
+    the modeler's alphabet."""
+    src = entry.raw_sequence or entry.sequence
+    cleaned = src.replace("X", "").replace("x", "")
     if not cleaned or len(cleaned) < 2:
         return None
     if set(cleaned).issubset(set("AGCT")) or set(cleaned).issubset(set("AGCU")):

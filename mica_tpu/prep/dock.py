@@ -53,35 +53,38 @@ def mask_docked_region(
     (dock_in_map.py:285-364).
     """
     vol = mrc_io.read_mrc(map_path)
-    data = vol.data.copy()
     atoms = pdb_io.parse_pdb(docked_pdb)
     coords = pdb_io.coords(atoms)
     centroid = np.median(coords, axis=0)
     d = np.linalg.norm(coords - centroid, axis=1)
     keep = coords[np.argsort(d)[: max(1, int(len(coords) * core_fraction))]]
 
-    # world -> (sec, row, col) voxel indices
-    xyz_idx = (keep - vol.origin_xyz[None, :]) / vol.voxel_size[None, :]
-    h = vol.header
-    nstart = np.array([h.nxstart, h.nystart, h.nzstart], np.float64)
-    xyz_idx = xyz_idx - nstart[None, :]
-    zyx = np.rint(xyz_idx[:, ::-1]).astype(np.int64)
-    ok = np.all((zyx >= 0) & (zyx < np.asarray(data.shape)), axis=1)
-    zyx = zyx[ok]
+    # operate in the canonical [x, y, z] layout: file axis order
+    # (mapc/mapr/maps) is arbitrary, and indexing the raw array with a
+    # naive reversal puts the mask on the wrong voxels for permuted maps
+    order = vol.xyz_order()
+    data_xyz, offset_xyz = vol.to_xyz()
+    data_xyz = np.ascontiguousarray(data_xyz).copy()
+    idx = (keep - vol.origin_xyz[None, :]) / vol.voxel_size[None, :]
+    idx = np.rint(idx - offset_xyz[None, :]).astype(np.int64)
+    ok = np.all((idx >= 0) & (idx < np.asarray(data_xyz.shape)), axis=1)
+    idx = idx[ok]
 
-    mask = np.ones(data.shape, bool)
-    mask[zyx[:, 0], zyx[:, 1], zyx[:, 2]] = False
-    dist = ndimage.distance_transform_edt(
-        mask, sampling=vol.voxel_size[::-1]
+    mask = np.ones(data_xyz.shape, bool)
+    mask[idx[:, 0], idx[:, 1], idx[:, 2]] = False
+    dist = ndimage.distance_transform_edt(mask, sampling=vol.voxel_size)
+    data_xyz[dist <= dilate_angstrom] = 0.0
+    mrc_io.write_mrc_like(
+        out_path, np.transpose(data_xyz, np.argsort(order)), vol
     )
-    data[dist <= dilate_angstrom] = 0.0
-    mrc_io.write_mrc_like(out_path, data, vol)
     return out_path
 
 
 def merge_docked_models(docked_pdbs: List[str], out_path: str) -> str:
     """Merge docked chain PDBs with globally unique chain IDs
     (dock_in_map.py:608-731)."""
+    from .af3_results import OutOfChainsError
+
     used = []
     parts = []
     for p in sorted(docked_pdbs):
@@ -89,9 +92,15 @@ def merge_docked_models(docked_pdbs: List[str], out_path: str) -> str:
         if len(atoms) == 0:
             continue
         for c in pdb_io.chains(atoms):
-            newc = c
-            if newc in used or newc not in pdb_io.CHAIN_IDS:
-                newc = next(x for x in pdb_io.CHAIN_IDS if x not in used)
+            newc = str(c)
+            # len check: substring membership would accept '' / multi-char
+            if (len(newc) != 1 or newc not in pdb_io.CHAIN_IDS
+                    or newc in used):
+                free = [x for x in pdb_io.CHAIN_IDS if x not in used]
+                if not free:
+                    raise OutOfChainsError(
+                        f"more than {len(pdb_io.CHAIN_IDS)} docked chains")
+                newc = free[0]
             used.append(newc)
             sel = pdb_io.select(atoms, chain=c).copy()
             sel["chain"] = newc
@@ -124,17 +133,20 @@ def dock_structures(
         out_pdb = work / (Path(model).stem + "_docked.pdb")
         if out_pdb.exists():
             logger.info("skipping %s (already docked)", out_pdb.name)
-            docked.append(str(out_pdb))
-            continue
-        cmd = phenix.dock_in_map(
-            model, current_map, resolution, str(out_pdb), phenix_env,
-            sequence_path=sequence_path, dry_run=dry_run,
-        )
-        commands.append(cmd)
+        else:
+            cmd = phenix.dock_in_map(
+                model, current_map, resolution, str(out_pdb), phenix_env,
+                sequence_path=sequence_path, dry_run=dry_run,
+            )
+            commands.append(cmd)
         if out_pdb.exists():
             docked.append(str(out_pdb))
+            # re-establish the masked-map chain on resume too: skipping a
+            # docked model without masking would let the next docking land
+            # on its (unmasked) density
             next_map = str(work / f"docking_map_{i + 1}.mrc")
-            mask_docked_region(current_map, str(out_pdb), next_map)
+            if not Path(next_map).exists():
+                mask_docked_region(current_map, str(out_pdb), next_map)
             current_map = next_map
 
     merged = None

@@ -199,6 +199,65 @@ def test_dock_threshold_and_mask(tmp_path, rng):
     assert m.data.sum() < t.data.sum()
 
 
+def test_dock_mask_permuted_axis_order(tmp_path, rng):
+    """mask_docked_region must hit the right voxels on maps whose file
+    axis order is permuted (mapc/mapr/maps != 1/2/3): the naive raw-array
+    reversal previously masked wrong voxels or nothing."""
+    # canonical content: uniform density
+    # axis_order=(3,2,1): cols carry Z, rows carry Y, sections carry X,
+    # so the file array IS the canonical [x, y, z] array here
+    vol_xyz = np.full((8, 10, 12), 1.0, np.float32)
+    mrc_io.write_mrc(tmp_path / "perm.mrc", vol_xyz,
+                     voxel_size=1.0, axis_order=(3, 2, 1))
+    pdb_io.write_ca_pdb(tmp_path / "docked.pdb", [[[2.0, 5.0, 9.0]]],
+                        res_names_by_chain=[["A"]])
+    out = dock.mask_docked_region(
+        str(tmp_path / "perm.mrc"), str(tmp_path / "docked.pdb"),
+        str(tmp_path / "masked.mrc"), core_fraction=1.0,
+        dilate_angstrom=0.5,
+    )
+    masked = mrc_io.read_mrc(out)
+    mx, _ = masked.to_xyz()
+    assert mx.shape == (8, 10, 12)
+    assert mx[2, 5, 9] == 0.0, "atom voxel not masked on permuted map"
+    assert (mx != 0).sum() > 0.9 * mx.size  # only the local region zeroed
+
+
+def test_dock_resume_reestablishes_mask_chain(tmp_path, rng):
+    """Resume must not dock against the unmasked map: when a model's
+    output already exists, its mask still applies before the next one."""
+    data = np.full((16, 16, 16), 1.0, np.float32)
+    mrc_io.write_mrc(tmp_path / "map.mrc", data, voxel_size=1.0)
+    pdb_io.write_ca_pdb(tmp_path / "m1.pdb", [[[8.0, 8.0, 8.0]]])
+    # pre-docked output exists; dry_run so no real phenix runs
+    (tmp_path / "work").mkdir()
+    pdb_io.write_ca_pdb(tmp_path / "work" / "m1_docked.pdb",
+                        [[[8.0, 8.0, 8.0]]])
+    res = dock.dock_structures(
+        str(tmp_path / "map.mrc"), [str(tmp_path / "m1.pdb")],
+        resolution=3.0, contour_level=0.1, work_dir=str(tmp_path / "work"),
+        dry_run=True,
+    )
+    assert res["docked"], "pre-docked model not picked up"
+    next_map = tmp_path / "work" / "docking_map_1.mrc"
+    assert next_map.exists(), "mask chain not re-established on resume"
+    m = mrc_io.read_mrc(next_map)
+    assert m.data[8, 8, 8] == 0.0
+
+
+def test_dock_merge_blank_and_excess_chains(tmp_path):
+    """Blank chain IDs get reassigned (substring membership previously let
+    '' through) and >62 chains raise OutOfChainsError."""
+    pdb_io.write_ca_pdb(tmp_path / "b_docked.pdb", [[[0, 0, 0]]])
+    atoms = pdb_io.parse_pdb(tmp_path / "b_docked.pdb")
+    atoms["chain"] = ""
+    pdb_io.write_pdb(tmp_path / "b_docked.pdb", atoms)
+    merged = dock.merge_docked_models(
+        [str(tmp_path / "b_docked.pdb")], str(tmp_path / "merged.pdb"))
+    out = pdb_io.parse_pdb(merged)
+    assert pdb_io.chains(out) == ["A"]
+
+
 def test_dock_merge(tmp_path):
     pdb_io.write_ca_pdb(tmp_path / "d1_docked.pdb", [[[0, 0, 0], [3.8, 0, 0]]])
     pdb_io.write_ca_pdb(tmp_path / "d2_docked.pdb", [[[10, 0, 0], [13.8, 0, 0]]])

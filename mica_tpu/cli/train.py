@@ -42,7 +42,8 @@ def main(argv=None) -> int:
     import numpy as np
 
     from ..train import data as data_mod
-    from ..train.trainer import Trainer, load_checkpoint, save_checkpoint
+    from ..train.trainer import (Trainer, load_checkpoint,
+                                 resume_template, save_checkpoint)
 
     if args.data_path.endswith(".npz"):
         dataset = data_mod.ArrayDataset.load(args.data_path)
@@ -68,8 +69,16 @@ def main(argv=None) -> int:
     start_epoch = 0
     best_val = float("inf")
     if args.resume_train and args.model_checkpoint:
-        ckpt = load_checkpoint(args.model_checkpoint)
-        state = state.replace(params=ckpt["params"], opt_state=ckpt["opt_state"])
+        # target template: without it orbax returns plain dicts and the
+        # optax namedtuple optimizer state is destroyed
+        ckpt = load_checkpoint(args.model_checkpoint,
+                               target=resume_template(state, trainer.scheduler))
+        state = state.replace(
+            params=ckpt["params"], opt_state=ckpt["opt_state"],
+            step=int(ckpt["step"]),
+            grad_norms=jnp.asarray(ckpt["grad_norms"]),
+            grad_count=int(ckpt["grad_count"]),
+        )
         trainer.scheduler.load_state_dict(ckpt["scheduler"])
         start_epoch = int(ckpt["epoch"]) + 1
         best_val = float(ckpt["val_loss"])
@@ -87,8 +96,11 @@ def main(argv=None) -> int:
         train_loader = data_mod.batch_iterator(
             dataset, args.batch_size, train_ix, shuffle=True, seed=epoch)
         state, train_metrics = trainer.run_epoch(state, train_loader, epoch)
+        # keep the tail: dropping it biases val_loss, and a val split
+        # smaller than the batch would otherwise yield ZERO batches
         val_loader = data_mod.batch_iterator(
-            dataset, args.batch_size, val_ix, shuffle=False)
+            dataset, args.batch_size, val_ix, shuffle=False,
+            drop_last=False)
         val_metrics = trainer.run_validation(state, val_loader, epoch)
         logger.info(
             "epoch %d: train %.4f val %.4f (%.1fs, %d steps)", epoch,

@@ -38,7 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.mica import MICA
 from ..ops.window import CORE, HALO, window_counts, window_starts
-from ..parallel.mesh import DATA_AXIS, make_mesh
+from ..parallel.mesh import DATA_AXIS, make_mesh, pad_to_multiple
 
 NUM_AA = 20
 NUM_AF_CHANNELS = 24
@@ -143,10 +143,9 @@ class SlidingWindowPredictor:
             raise ValueError("shard_volumes requires a mesh and blend='core'")
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
-            if self.batch_size % n_dev:
-                self.batch_size = -(-self.batch_size // n_dev) * n_dev
+            self.batch_size = pad_to_multiple(self.batch_size, n_dev)
         self.timing: Dict[str, float] = {}
-        self._model_step = None
+        self._model_step = {}
         self._gather = {}
         self._scatter = None
         self._scatter_sharded = {}
@@ -170,17 +169,19 @@ class SlidingWindowPredictor:
         program, so the float windows never round-trip through HBM between
         the gather and the model.
         """
-        if self._model_step is not None:
-            return self._model_step
+        if with_af in self._model_step:
+            return self._model_step[with_af]
         model, core_n, halo = self.model, self.core, self.halo
 
         full = self.blend == "average"
 
         def step(params, windows, af_packed):
-            af = (
-                unpack_af_bits(af_packed, windows.dtype)
-                if af_packed is not None else None
-            )
+            if af_packed is None:
+                af = None
+            elif af_packed.dtype == jnp.uint32:
+                af = unpack_af_bits(af_packed, windows.dtype)
+            else:  # float encodings (e.g. trilinear splat) pass through
+                af = af_packed.astype(windows.dtype)
             bb, ca, aa = model.apply({"params": params}, windows, af)
             bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
             sl = slice(None) if full else slice(halo, halo + core_n)
@@ -192,14 +193,15 @@ class SlidingWindowPredictor:
 
         if self._shardings is not None:
             repl, bshard = self._shardings
-            self._model_step = jax.jit(
+            fn = jax.jit(
                 step,
                 in_shardings=(repl, bshard, bshard if with_af else None),
                 out_shardings=(bshard, bshard, bshard),
             )
         else:
-            self._model_step = jax.jit(step)
-        return self._model_step
+            fn = jax.jit(step)
+        self._model_step[with_af] = fn
+        return fn
 
     def _build_gather(self, with_af: bool):
         """Cheap window gather; the jit wrapper is cached on self so repeat
@@ -222,9 +224,15 @@ class SlidingWindowPredictor:
                 )
                 if padded_af is None:
                     return win, None
-                af = jax.lax.dynamic_slice(
-                    padded_af, (start[0], start[1], start[2]), (w, w, w)
-                )
+                if padded_af.ndim == 4:  # float channels-last encodings
+                    af = jax.lax.dynamic_slice(
+                        padded_af, (start[0], start[1], start[2], 0),
+                        (w, w, w, padded_af.shape[3]),
+                    )
+                else:
+                    af = jax.lax.dynamic_slice(
+                        padded_af, (start[0], start[1], start[2]), (w, w, w)
+                    )
                 return win, af
 
             wins, afs = jax.vmap(one)(starts)
@@ -250,7 +258,7 @@ class SlidingWindowPredictor:
         average = self.blend == "average"
         bsz = self.batch_size
 
-        def scatter(vols, cores, all_starts, ofs):
+        def scatter(vols, cores, all_starts, ofs, n_valid):
             starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
             bb_v, ca_v, aa_v, cnt_v = vols
             bb_c, ca_c, aa_c = cores
@@ -258,19 +266,23 @@ class SlidingWindowPredictor:
                 s = starts[i]
                 if average:
                     # accumulate full windows at (start - halo) in the
-                    # halo-padded accumulator frame (see predict_volume)
+                    # halo-padded accumulator frame (see predict_volume).
+                    # Batch-padding entries (i >= n_valid, repeats of the
+                    # last window) are masked to weight 0 — accumulating
+                    # them would over-weight that window in seam overlaps.
+                    wgt = (i < n_valid).astype(jnp.float32)
                     pos = (s[0], s[1], s[2])
                     blk = jax.lax.dynamic_slice(
-                        bb_v, pos, bb_c[i].shape) + bb_c[i]
+                        bb_v, pos, bb_c[i].shape) + wgt * bb_c[i]
                     bb_v = jax.lax.dynamic_update_slice(bb_v, blk, pos)
                     blk = jax.lax.dynamic_slice(
-                        ca_v, pos, ca_c[i].shape) + ca_c[i]
+                        ca_v, pos, ca_c[i].shape) + wgt * ca_c[i]
                     ca_v = jax.lax.dynamic_update_slice(ca_v, blk, pos)
                     blk = jax.lax.dynamic_slice(
-                        aa_v, pos + (0,), aa_c[i].shape) + aa_c[i]
+                        aa_v, pos + (0,), aa_c[i].shape) + wgt * aa_c[i]
                     aa_v = jax.lax.dynamic_update_slice(aa_v, blk, pos + (0,))
                     blk = jax.lax.dynamic_slice(
-                        cnt_v, pos, bb_c[i].shape) + jnp.ones_like(bb_c[i])
+                        cnt_v, pos, bb_c[i].shape) + wgt
                     cnt_v = jax.lax.dynamic_update_slice(cnt_v, blk, pos)
                 else:
                     bb_v = jax.lax.dynamic_update_slice(bb_v, bb_c[i], (s[0], s[1], s[2]))
@@ -282,7 +294,7 @@ class SlidingWindowPredictor:
             repl, bshard = self._shardings
             fn = jax.jit(
                 scatter,
-                in_shardings=((repl,) * 4, (bshard,) * 3, repl, repl),
+                in_shardings=((repl,) * 4, (bshard,) * 3, repl, repl, repl),
                 out_shardings=(repl,) * 4,
                 donate_argnums=(0,),
             )
@@ -307,7 +319,7 @@ class SlidingWindowPredictor:
 
         core_n, bsz, mesh = self.core, self.batch_size, self.mesh
 
-        def scatter_local(vols, cores, all_starts, ofs):
+        def scatter_local(vols, cores, all_starts, ofs, n_valid):
             bb_v, ca_v, aa_v, cnt_v = vols
             bb_c, ca_c, aa_c = cores
             x_off = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * x_local
@@ -339,7 +351,7 @@ class SlidingWindowPredictor:
         fn = jax.jit(
             shard_map(
                 scatter_local, mesh=mesh,
-                in_specs=(vol_specs, (P(), P(), P()), P(), P()),
+                in_specs=(vol_specs, (P(), P(), P()), P(), P(), P()),
                 out_specs=vol_specs,
                 check_rep=False,
             ),
@@ -372,8 +384,7 @@ class SlidingWindowPredictor:
         if self.shard_volumes:
             # pad the X core-count to a mesh multiple so each device owns
             # an equal slab and every core lands wholly inside one slab
-            n_dev = self.mesh.devices.size
-            nb[0] = -(-nb[0] // n_dev) * n_dev
+            nb[0] = pad_to_multiple(nb[0], self.mesh.devices.size)
         padded_shape = tuple(n * core_n for n in nb)
 
         # pad so the last window [start, start+window) fits:
@@ -387,12 +398,21 @@ class SlidingWindowPredictor:
         np_af = None
         with_af = af_encoding is not None
         if with_af:
-            packed = (
-                af_encoding
-                if af_encoding.ndim == 3 and af_encoding.dtype == np.uint32
-                else pack_af_encoding(af_encoding)
-            )
-            np_af = np.pad(packed, pads)
+            if af_encoding.ndim == 3 and af_encoding.dtype == np.uint32:
+                np_af = np.pad(af_encoding, pads)
+            else:
+                af_arr = np.asarray(af_encoding)
+                binary = np.isin(np.unique(af_arr), (0, 1)).all()
+                if binary:
+                    np_af = np.pad(pack_af_encoding(af_arr), pads)
+                else:
+                    # fractional encodings (trilinear splat) cannot be
+                    # bit-packed without silently binarizing them — ship
+                    # them channels-last in float
+                    np_af = np.pad(
+                        np.moveaxis(af_arr.astype(np.float32), 0, -1),
+                        pads + [(0, 0)],
+                    )
             padded_af = jnp.asarray(np_af)
 
         starts = window_starts(shape, core_n).astype(np.int32)
@@ -415,8 +435,6 @@ class SlidingWindowPredictor:
             empty[i] = True
         compute_starts = starts[~empty]
         empty_starts = starts[empty]
-        if len(compute_starts) == 0:
-            compute_starts = starts[:1]
         self.timing["n_empty"] = int(empty.sum())
 
         starts = compute_starts
@@ -476,29 +494,35 @@ class SlidingWindowPredictor:
                 )
 
         t1 = time.time()
-        starts_dev = jnp.asarray(starts)
+        n_compute = starts.shape[0] - n_pad
+        starts_dev = jnp.asarray(starts) if starts.shape[0] else None
         for ofs in range(0, starts.shape[0], bsz):
             wins, afs, batch = gather(padded_map, padded_af, starts_dev, ofs)
             cores = model_step(self.params, wins, afs)
-            vols = scatter(vols, cores, batch, 0)
+            n_valid = max(0, min(bsz, n_compute - ofs))
+            vols = scatter(vols, cores, batch, 0, jnp.int32(n_valid))
             if dump_dir is not None:
-                n_valid = max(0, min(bsz, (starts.shape[0] - n_pad) - ofs))
                 dump(cores, starts[ofs : ofs + bsz], n_valid)
 
         if len(empty_starts):
             # one forward on the all-zero window, broadcast into every
             # empty position (identical inputs -> identical outputs);
             # cached across maps — same params, same all-zero input
-            z_cores = self._zero_cores.get(with_af)
+            zkey = (with_af, None if np_af is None else np_af.ndim)
+            z_cores = self._zero_cores.get(zkey)
             if z_cores is None:
                 zero_wins = jnp.zeros((bsz, win, win, win, 1), jnp.float32)
-                zero_afs = (
-                    jnp.zeros((bsz, win, win, win), jnp.uint32)
-                    if with_af else None
-                )
+                if not with_af:
+                    zero_afs = None
+                elif np_af.ndim == 4:
+                    zero_afs = jnp.zeros(
+                        (bsz, win, win, win, np_af.shape[3]), jnp.float32)
+                else:
+                    zero_afs = jnp.zeros((bsz, win, win, win), jnp.uint32)
                 z_cores = model_step(self.params, zero_wins, zero_afs)
-                self._zero_cores[with_af] = z_cores
-            n_pad_e = (-len(empty_starts)) % bsz
+                self._zero_cores[zkey] = z_cores
+            n_empty = len(empty_starts)
+            n_pad_e = (-n_empty) % bsz
             if n_pad_e:
                 empty_starts = np.concatenate(
                     [empty_starts,
@@ -506,7 +530,9 @@ class SlidingWindowPredictor:
                 )
             empty_dev = jnp.asarray(empty_starts)
             for ofs in range(0, len(empty_starts), bsz):
-                vols = scatter(vols, z_cores, empty_dev, ofs)
+                n_valid = max(0, min(bsz, n_empty - ofs))
+                vols = scatter(vols, z_cores, empty_dev, ofs,
+                               jnp.int32(n_valid))
         jax.block_until_ready(vols)
         # force true completion with a 1-voxel readback: on tunneled
         # platforms block_until_ready can return before execution finishes

@@ -139,7 +139,13 @@ def predict_map(
 
     prepared = prepare_map(map_path)
     encoding = None
-    if docked_pdb_path is not None and Path(docked_pdb_path).exists():
+    if docked_pdb_path is not None:
+        # an explicitly requested docked model must exist: silently
+        # degrading to density-only prediction returns materially
+        # different volumes with nothing distinguishing the two runs
+        if not Path(docked_pdb_path).exists():
+            raise FileNotFoundError(
+                f"docked AF3 model not found: {docked_pdb_path}")
         encoding = build_af3_encoding(prepared, docked_pdb_path)
 
     predictor = SlidingWindowPredictor(

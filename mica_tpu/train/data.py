@@ -176,8 +176,6 @@ def batch_iterator(
     stop = len(idx) - (len(idx) % batch_size if drop_last else 0)
     for ofs in range(0, stop, batch_size):
         chunk = idx[ofs : ofs + batch_size]
-        if len(chunk) == 0:
-            continue
         samples = [dataset[int(i)] for i in chunk]
         yield tuple(np.stack([s[f] for s in samples]) for f in range(5))
 

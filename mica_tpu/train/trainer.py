@@ -28,7 +28,7 @@ from __future__ import annotations
 import logging
 import time
 from pathlib import Path
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax
 import jax
@@ -139,6 +139,20 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self._train_steps: Dict[float, Any] = {}
         self._eval_step = None
+        self._eval_step_unsharded = None
+
+    # ------------------------------------------------------------------
+    def _check_batch_divisible(self, n: int) -> None:
+        """Batch sharding along the data axis needs batch % devices == 0;
+        fail with a readable message instead of XLA's sharding error."""
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            if n % n_dev:
+                raise ValueError(
+                    f"batch size {n} is not divisible by the {n_dev}-device "
+                    f"mesh; round the batch up (parallel.mesh."
+                    f"pad_to_multiple) or drop the remainder"
+                )
 
     # ------------------------------------------------------------------
     def init_state(self, sample_shape=(1, 64, 64, 64, 1)) -> TrainState:
@@ -259,6 +273,18 @@ class Trainer:
             self._eval_step = self._build_eval_step()
         return self._eval_step
 
+    @property
+    def eval_step_unsharded(self):
+        """Plain-jit eval for batches that do not divide the mesh (the
+        validation tail with drop_last=False)."""
+        if self._eval_step_unsharded is None:
+            mesh, self.mesh = self.mesh, None
+            try:
+                self._eval_step_unsharded = self._build_eval_step()
+            finally:
+                self.mesh = mesh
+        return self._eval_step_unsharded
+
     # ------------------------------------------------------------------
     def run_epoch(self, state: TrainState, loader, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
         step_fn = self.train_step_for_epoch(epoch)
@@ -278,6 +304,7 @@ class Trainer:
         for batch in loader:
             self.rng, k = jax.random.split(self.rng)
             batch = tuple(jnp.asarray(b) for b in batch)
+            self._check_batch_divisible(batch[0].shape[0])
             state, metrics = step_fn(state, batch, lambdas, k)
             n += 1
             for key in keys:
@@ -298,7 +325,12 @@ class Trainer:
         n = 0
         for batch in loader:
             batch = tuple(jnp.asarray(b) for b in batch)
-            metrics = self.eval_step(state.params, batch, lambdas)
+            n_batch = batch[0].shape[0]
+            if self.mesh is not None and n_batch % self.mesh.devices.size:
+                metrics = self.eval_step_unsharded(
+                    jax.device_get(state.params), batch, lambdas)
+            else:
+                metrics = self.eval_step(state.params, batch, lambdas)
             n += 1
             for key in keys:
                 totals[key] = (
@@ -339,8 +371,32 @@ def save_checkpoint(path: str, state: TrainState, scheduler: PlateauScheduler,
         ckptr.save(p, ckpt, force=True)
 
 
-def load_checkpoint(path: str) -> dict:
+def load_checkpoint(path: str, target: Optional[dict] = None) -> dict:
+    """Restore an orbax checkpoint.
+
+    ``target`` is the checkpoint-structured template (e.g. built from a
+    freshly initialized state): WITHOUT it, orbax returns plain nested
+    dicts, which silently destroys the optax namedtuple optimizer state —
+    ``_replace``/``tx.update`` then fail on resume.  Params-only readers
+    (flax params are plain dicts anyway) may omit it.
+    """
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(Path(path).absolute(), item=target)
         return ckptr.restore(Path(path).absolute())
+
+
+def resume_template(state: TrainState, scheduler: PlateauScheduler) -> dict:
+    """Checkpoint-structured template for a full-state restore."""
+    return {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0,
+        "grad_norms": np.asarray(state.grad_norms),
+        "grad_count": 0,
+        "epoch": 0,
+        "val_loss": 0.0,
+        "scheduler": scheduler.state_dict(),
+    }

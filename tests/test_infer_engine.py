@@ -187,3 +187,24 @@ def test_engine_average_blend(params, rng):
         )
         # blended voxels stay bounded
         assert np.mean(np.abs(a - c)) < 0.2
+
+
+def test_engine_average_blend_batch_independent(params, rng):
+    """Average-mode output must not depend on batch size: batch-padding
+    duplicates previously accumulated the last window multiple times,
+    over-weighting it in seam overlaps."""
+    shape = (26, 26, 13)
+    vol = rng.random(shape).astype(np.float32)
+    af = (rng.random((24,) + shape) < 0.02).astype(np.float32)
+
+    outs = [
+        SlidingWindowPredictor(
+            params, batch_size=bs, dtype=jnp.float32, base_filters=BASE,
+            core=CORE, halo=HALO, blend="average",
+        ).predict_volume(vol, af)
+        for bs in (2, 5)
+    ]
+    for key in ("backbone_probability", "carbon_alpha_probability",
+                "amino_acid_probability"):
+        np.testing.assert_allclose(outs[0][key], outs[1][key], atol=1e-5,
+                                   err_msg=key)

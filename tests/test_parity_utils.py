@@ -59,3 +59,25 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     np.testing.assert_allclose(np.asarray(flat1[0]), np.asarray(flat2[0]))
     assert ck["scheduler"]["lr"] == trainer.scheduler.lr
+
+
+def test_checkpoint_resume_restores_optimizer_structure(tmp_path):
+    """Full-state resume must restore the optax NAMEDTUPLE optimizer
+    state: a structureless orbax restore returns plain dicts, on which
+    the lr update (_set_lr -> _replace) and tx.update crash."""
+    from mica_tpu.train.trainer import (
+        Trainer, _set_lr, load_checkpoint, resume_template, save_checkpoint,
+    )
+
+    trainer = Trainer(base_filters=16, use_mesh=False, use_augmentation=False)
+    state = trainer.init_state((1, 8, 8, 8, 1))
+    save_checkpoint(str(tmp_path / "ck"), state, trainer.scheduler, epoch=1,
+                    val_loss=0.5)
+    fresh = trainer.init_state((1, 8, 8, 8, 1))
+    ck = load_checkpoint(str(tmp_path / "ck"),
+                         target=resume_template(fresh, trainer.scheduler))
+    # structure restored: the lr injection works on it
+    new_opt = _set_lr(ck["opt_state"], 5e-5)
+    assert float(new_opt.hyperparams["learning_rate"]) == np.float32(5e-5)
+    assert int(ck["step"]) == int(state.step)
+    assert np.asarray(ck["grad_norms"]).shape == np.asarray(state.grad_norms).shape

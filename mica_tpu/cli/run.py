@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--batch_size", type=int, default=0,
                    help="0 = derive from device memory (auto_batch_size)")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="run without a trained checkpoint (random weights; "
+                        "smoke tests only — the output model is meaningless)")
     # external tools
     p.add_argument("--run_pulchra", action="store_true")
     p.add_argument("--pulchra_path", default="",
@@ -101,6 +104,7 @@ def main(argv=None) -> int:
         struct_len=args.struct_len,
         seed=args.seed,
         batch_size=args.batch_size,
+        allow_random_weights=args.allow_random_weights,
         run_pulchra=args.run_pulchra,
         pulchra_path=args.pulchra_path,
         run_phenix=args.run_phenix,

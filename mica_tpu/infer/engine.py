@@ -83,6 +83,38 @@ def auto_batch_size(max_batch: int = 8, device=None) -> int:
     return max_batch
 
 
+def _window_nonempty(padded: np.ndarray, counts, core: int, halo: int) -> np.ndarray:
+    """Vectorized per-window occupancy flags over a halo-padded volume.
+
+    Replaces the serial per-window ``blk.any()`` scan (a 1024-cube map is
+    ~10k windows x 64^3 reads on one host core) with one blockwise
+    reduction + a separable running max over the window footprint.
+
+    ``padded`` is the engine's padded array — 3D density / packed-uint32
+    AF, or 4D channels-last float AF; windows start at multiples of
+    ``core`` and span ``core + 2*halo``.  Returns flattened
+    ``prod(counts)`` bools in ``window_starts`` order (x-major).
+    """
+    win = core + 2 * halo
+    g = int(np.gcd(core, 2 * halo)) if halo else core
+    a = padded
+    if a.ndim == 4:
+        a = (a != 0).any(axis=-1)
+    occ = a != 0
+    gx, gy, gz = (s // g for s in occ.shape)
+    r = occ[: gx * g, : gy * g, : gz * g].reshape(
+        gx, g, gy, g, gz, g
+    ).any(axis=(1, 3, 5))
+    wb, sb = win // g, core // g
+    out = r
+    for ax, n in enumerate(counts):
+        idx = sb * np.arange(n)
+        out = np.maximum.reduce(
+            [np.take(out, idx + k, axis=ax) for k in range(wb)]
+        )
+    return out.reshape(-1)
+
+
 def postprocess_logits(bb: jnp.ndarray, ca: jnp.ndarray, aa: jnp.ndarray):
     """Window-level postprocessing (channels-last logits).
 
@@ -315,8 +347,6 @@ class SlidingWindowPredictor:
         """
         if x_local in self._scatter_sharded:
             return self._scatter_sharded[x_local]
-        from jax.experimental.shard_map import shard_map
-
         core_n, bsz, mesh = self.core, self.batch_size, self.mesh
 
         def scatter_local(vols, cores, all_starts, ofs, n_valid):
@@ -349,11 +379,11 @@ class SlidingWindowPredictor:
         x3 = P(DATA_AXIS, None, None)
         vol_specs = (x3, x3, x4, P())
         fn = jax.jit(
-            shard_map(
+            jax.shard_map(
                 scatter_local, mesh=mesh,
                 in_specs=(vol_specs, (P(), P(), P()), P(), P(), P()),
                 out_specs=vol_specs,
-                check_rep=False,
+                check_vma=False,
             ),
             donate_argnums=(0,),
         )
@@ -423,16 +453,11 @@ class SlidingWindowPredictor:
         # representative and broadcast its cores.  Real maps are typically
         # 40-60% empty windows, so this roughly halves the compute while
         # staying output-identical.
-        empty = np.zeros(n_windows, bool)
-        for i, s in enumerate(starts):
-            blk = np_padded[s[0] : s[0] + win, s[1] : s[1] + win, s[2] : s[2] + win]
-            if blk.any():
-                continue
-            if with_af:
-                ab = np_af[s[0] : s[0] + win, s[1] : s[1] + win, s[2] : s[2] + win]
-                if ab.any():
-                    continue
-            empty[i] = True
+        counts = window_counts(shape, core_n)
+        nonempty = _window_nonempty(np_padded, counts, core_n, halo)
+        if with_af:
+            nonempty |= _window_nonempty(np_af, counts, core_n, halo)
+        empty = ~nonempty
         compute_starts = starts[~empty]
         empty_starts = starts[empty]
         self.timing["n_empty"] = int(empty.sum())

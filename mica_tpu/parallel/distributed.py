@@ -41,7 +41,9 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     local_device_ids: Optional[Sequence[int]] = None,
-    shutdown_timeout_seconds: Optional[int] = None,
+    shutdown_timeout_seconds: int = 900,
+    heartbeat_timeout_seconds: int = 600,
+    initialization_timeout: int = 600,
 ) -> None:
     """Connect this process to the distributed runtime (idempotent).
 
@@ -49,11 +51,21 @@ def initialize(
     ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
     variables jax reads).  Must be called before any jax operation that
     initializes the backend.
+
+    The timeout defaults are deliberately far above jax's (100 s
+    heartbeat / 300 s shutdown): a cold SPMD compile can take minutes and
+    be asymmetric across processes (compile-cache races), and on a
+    contended host the laggard's heartbeat sender can starve — a
+    multi-host entry must survive worst-case compile skew, not die on it.
     """
     global _initialized
     if _initialized:
         return
-    kwargs = {}
+    kwargs = {
+        "shutdown_timeout_seconds": shutdown_timeout_seconds,
+        "heartbeat_timeout_seconds": heartbeat_timeout_seconds,
+        "initialization_timeout": initialization_timeout,
+    }
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
     if num_processes is not None:
@@ -62,10 +74,6 @@ def initialize(
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
-    if shutdown_timeout_seconds is not None:
-        # cover straggler processes (e.g. an asymmetric compile-cache miss
-        # leaves one process minutes behind at the shutdown barrier)
-        kwargs["shutdown_timeout_seconds"] = shutdown_timeout_seconds
     jax.distributed.initialize(**kwargs)
     _initialized = True
     logger.info(
@@ -73,6 +81,23 @@ def initialize(
         jax.process_index(), jax.process_count(),
         jax.local_device_count(), jax.device_count(),
     )
+
+
+def barrier(name: str, timeout_seconds: int = 900) -> None:
+    """Block until every process reaches the barrier ``name``.
+
+    Rides the coordination service (no device collective — safe to call
+    before any executable runs).  The canonical use is fencing a gloo/DCN
+    collective behind AOT compilation: ``.lower(...).compile()`` on every
+    process, ``barrier("compiled")``, then execute — so the collective's
+    own (much shorter) rendezvous window never has to absorb compile skew.
+    """
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:
+        return  # single-process: nothing to synchronize
+    client.wait_at_barrier(name, timeout_seconds * 1000)
 
 
 def global_mesh(axis_name: str = DATA_AXIS,

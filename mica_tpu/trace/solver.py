@@ -64,6 +64,9 @@ class ModelingConfig:
     seed: int = 2022
 
     run_pulchra: bool = False
+    # Random weights produce a garbage model; a production run must load a
+    # trained checkpoint or opt in explicitly (tests/benchmarks set this).
+    allow_random_weights: bool = False
     pulchra_path: str = ""
     run_phenix: bool = False
     phenix_act: str = ""
@@ -197,6 +200,12 @@ class Solver:
         from ..infer.engine import SlidingWindowPredictor
 
         if self.params is None:
+            if not self.config.allow_random_weights:
+                raise RuntimeError(
+                    "no network checkpoint loaded (--model_path); refusing to "
+                    "produce a model from random weights. Pass "
+                    "--allow_random_weights to override (tests/smoke runs only)."
+                )
             import jax.numpy as jnp
 
             from ..models.init import init_params_fast

@@ -104,8 +104,7 @@ lambdas = jnp.asarray(task_lambdas(0), jnp.float32)
 # barrier, then execute within the rendezvous window.
 compiled = step.lower(state, batch, lambdas, jax.random.PRNGKey(0)).compile()
 print(f"proc {pid}: compiled", flush=True)
-from jax._src import distributed as _dist
-_dist.global_state.client.wait_at_barrier("train_step_compiled", 900_000)
+distributed.barrier("train_step_compiled", timeout_seconds=900)
 
 state, metrics = compiled(state, batch, lambdas, jax.random.PRNGKey(0))
 loss = float(metrics["total_loss"])

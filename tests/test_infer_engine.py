@@ -208,3 +208,43 @@ def test_engine_average_blend_batch_independent(params, rng):
                 "amino_acid_probability"):
         np.testing.assert_allclose(outs[0][key], outs[1][key], atol=1e-5,
                                    err_msg=key)
+
+
+def test_window_nonempty_matches_bruteforce(rng):
+    """Vectorized occupancy scan == per-window blk.any() loop, including
+    non-multiple-of-core shapes and 4D channels-last AF arrays."""
+    from mica_tpu.infer.engine import _window_nonempty
+    from mica_tpu.ops.window import window_counts, window_starts
+
+    for shape in [(30, 25, 17), (36, 36, 36), (13, 49, 24)]:
+        core, halo = CORE, HALO
+        win = core + 2 * halo
+        counts = window_counts(shape, core)
+        nb = [int(n) for n in counts]
+        padded_shape = tuple(n * core for n in nb)
+        pads = [
+            (halo, (padded_shape[a] - core) + win - halo - shape[a])
+            for a in range(3)
+        ]
+        vol = (rng.random(shape) < 0.002).astype(np.float32) * rng.random(shape)
+        padded = np.pad(vol, pads)
+        got = _window_nonempty(padded, counts, core, halo)
+
+        starts = window_starts(shape, core)
+        want = np.zeros(len(starts), bool)
+        for i, s in enumerate(starts):
+            blk = padded[s[0]:s[0]+win, s[1]:s[1]+win, s[2]:s[2]+win]
+            want[i] = bool(blk.any())
+        np.testing.assert_array_equal(got, want)
+
+        # 4D channels-last float variant
+        af = np.zeros(shape + (3,), np.float32)
+        af[tuple(np.asarray(shape) // 2)] = 1.0
+        padded4 = np.pad(af, pads + [(0, 0)])
+        got4 = _window_nonempty(padded4, counts, core, halo)
+        want4 = np.zeros(len(starts), bool)
+        for i, s in enumerate(starts):
+            want4[i] = bool(
+                padded4[s[0]:s[0]+win, s[1]:s[1]+win, s[2]:s[2]+win].any()
+            )
+        np.testing.assert_array_equal(got4, want4)

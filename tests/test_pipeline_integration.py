@@ -48,6 +48,7 @@ def test_full_pipeline(tmp_path):
         window_halo=2,
         batch_size=4,
         run_pulchra=True,
+        allow_random_weights=True,
     )
     solver = Solver(cfg)
     assert solver.check_seq() == "success"

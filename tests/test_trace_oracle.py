@@ -1,0 +1,272 @@
+"""Reference-oracle parity for the TRACE stage (VERDICT round-1 #3).
+
+Runs the reference's own ``Solver`` (/root/reference/utils/modeler.py:455)
+with synthetic prediction volumes injected at its nnPred boundary — the
+same injection point our solver exposes via ``set_volumes`` — and compares
+the two pipelines stage by stage:
+
+* candidate extraction (clustering -> NMS -> sub-voxel refine,
+  modeler.py:762-899): candidate count + positions, neighbor lists,
+  pair scores, best-neighbor sets;
+* the full AF3-template protocol (seqStructAlignWithAF3Structure ->
+  initialModelBuilding -> gapFilling, modeler.py:1229-2123): final
+  per-chain assignments, coverage, and model-vs-ground-truth RMSD;
+* the template-free protocol (seqStructureAlign, modeler.py:1053-1139).
+
+The reference's hard dependencies unavailable here (open3d, superpose3d,
+BioPython, mrcfile) are satisfied by ~40-line test-only API stand-ins
+(open3d_shim / superpose3d_shim / bio_shim / mrcfile_shim) — re-implemented
+interfaces, not vendored code.
+"""
+
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not (REF / "utils" / "modeler.py").exists(),
+    reason="reference snapshot not available",
+)
+
+import bio_shim  # noqa: E402
+import mrcfile_shim  # noqa: E402
+import open3d_shim  # noqa: E402
+import superpose3d_shim  # noqa: E402
+from synthetic import make_scenario, random_rigid  # noqa: E402
+
+bio_shim.install()
+open3d_shim.install()
+sys.modules["superpose3d"] = superpose3d_shim
+sys.modules.setdefault("mrcfile", mrcfile_shim)
+if str(REF) not in sys.path:
+    sys.path.insert(0, str(REF))
+
+pytest.importorskip("torch")
+
+from mica_tpu.io import pdb as pdb_io  # noqa: E402
+from mica_tpu.trace.solver import ModelingConfig, Solver  # noqa: E402
+
+
+def _write_inputs(tmp: Path, ca, seq, protocol: str):
+    """FASTA + (for AF3_struct) a rigid-transformed template ranked_0.pdb."""
+    fasta = tmp / "scn.fasta"
+    fasta.write_text(f">scn|Chains A\n{seq}\n")
+    if protocol == "AF3_struct":
+        R, t = random_rigid(7)
+        template = ca @ R.T + t
+        d = tmp / "AF3_structures" / "scn"
+        d.mkdir(parents=True)
+        from mica_tpu.io.pdb import ONE_TO_THREE
+
+        pdb_io.write_ca_pdb(
+            d / "ranked_0.pdb", [template],
+            res_names_by_chain=[[ONE_TO_THREE.get(c, "ALA") for c in seq]],
+        )
+    return fasta
+
+
+def _ref_solver(tmp: Path, fasta: Path, protocol: str, vols):
+    import utils.modeler as ref_modeler
+
+    out = tmp / "ref_out"
+    out.mkdir(exist_ok=True)
+    cfg = types.SimpleNamespace(
+        protocol=protocol,
+        map_path=str(tmp / "emd_1234.mrc"),
+        fasta_path=str(fasta),
+        output_path=str(out),
+        AF3_structure_path=str(tmp / "AF3_structures"),
+        AF3_encodings_path=str(tmp / "enc"),
+        normalized_map_path=str(tmp / "norm.mrc"),
+        grids_path=str(tmp / "grids"),
+        model_path="",
+        device="cpu",
+        quiet=True,
+        seed=2022,
+        mul_proc_num=1,
+        no_parallel=True,
+        cluster_eps=10.0,
+        cluster_min_points=10,
+        nms_radius=9.0,
+        CA_score_thrh=0.3,
+        frags_len=150,
+        n_hop=6,
+        neigh_mat_thrh=0.7,
+        score_thrh=2.0,
+        struct_len=5,
+        resolution=3.0,
+        run_pulchra=False,
+        run_phenix=False,
+        pulchra_path="",
+        phenix_act="",
+        phenix_param="",
+    )
+    sol = ref_modeler.Solver(cfg)
+    sol.logger.setLevel("ERROR")
+    assert sol.checkSeq() == "success"
+    # inject at the nnPred boundary (modeler.py:735-738)
+    ref_modeler.NNPred.BBProb = vols["backbone_probability"]
+    ref_modeler.NNPred.AAProb = vols["amino_acid_probability"]
+    sol.CAProb = vols["carbon_alpha_probability"]
+    sol.AAPred = vols["amino_acid_prediction"]
+    sol.offset = np.zeros(3)
+    return sol
+
+
+def _our_solver(tmp: Path, fasta: Path, protocol: str, vols):
+    cfg = ModelingConfig(
+        map_path=str(tmp / "emd_1234.mrc"),
+        fasta_path=str(fasta),
+        input_dir=str(tmp),
+        output_path=str(tmp / "our_out"),
+        protocol=protocol,
+        allow_random_weights=True,
+    )
+    sol = Solver(cfg)
+    assert sol.check_seq() == "success"
+    sol.set_volumes(vols)  # voxel-frame coordinates (offset 0), like the ref
+    return sol
+
+
+def _match_coords(a: np.ndarray, b: np.ndarray):
+    """Greedy nearest matching; returns per-point distances and the b-index
+    for each a-point."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(b)
+    d, ix = tree.query(a)
+    return d, ix
+
+
+def _assignments(entry_like, seq_len, kind):
+    """Per-chain candidate index list: -1 or candidate ix, length seq_len."""
+    if kind == "ref":
+        fasta = entry_like
+        return {cid: list(fasta.chain_dict[cid].result)
+                for cid in fasta.chain_dict}
+    return {cid: list(ch.result) for cid, ch in entry_like.chains.items()}
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    return make_scenario(n_res=90, shape=(64, 64, 64), seed=11)
+
+
+def test_candidate_extraction_oracle(tmp_path, scenario):
+    ca, seq, vols = scenario
+    fasta = _write_inputs(tmp_path, ca, seq, "AF3_struct")
+    ref = _ref_solver(tmp_path, fasta, "AF3_struct", vols)
+    ours = _our_solver(tmp_path, fasta, "AF3_struct", vols)
+
+    ref.clustering()
+    ours._clustering()
+    cands = ours.cands
+
+    # same candidate set (order may differ: the ref sorts by prob, we keep
+    # NMS order — compare as point sets)
+    assert len(cands) == len(ref.CA_cands)
+    d, ix = _match_coords(cands.coords, ref.CA_cands)
+    assert sorted(ix.tolist()) == list(range(len(cands)))  # a bijection
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+    # neighbor lists and pair scores agree under the index mapping
+    inv = np.empty(len(cands), np.int64)
+    inv[ix] = np.arange(len(cands))  # ref index -> our index
+    for i in range(len(cands)):
+        ri = ix[i]
+        assert set(ix[cands.neighbors2to6[i]]) == set(ref.neighbors2to6[ri])
+        assert set(ix[cands.neighbors0to7[i]]) == set(ref.neighbors0to7[ri])
+        for j in cands.neighbors2to6[i]:
+            np.testing.assert_allclose(
+                cands.neigh_mat[i, j], ref.neigh_mat[ri, ix[j]], atol=1e-9
+            )
+        assert set(ix[cands.best_neigh[i]]) == set(ref.best_neigh[ri])
+
+    # aggregated AA probabilities at refined positions
+    np.testing.assert_allclose(cands.aa_prob, ref.CA_cands_AAProb[:, ix],
+                               atol=1e-9)
+
+
+def _model_stats(assign, coords, ca_true):
+    """(coverage, rmsd-to-truth) over all chains of one entry."""
+    placed = []
+    truth = []
+    n_total = 0
+    for cid, res in assign.items():
+        n_total += len(res)
+        for seq_ix, cand in enumerate(res):
+            if cand == -1:
+                continue
+            placed.append(coords[cand])
+            truth.append(ca_true[seq_ix])
+    if not placed:
+        return 0.0, np.inf
+    placed = np.asarray(placed)
+    truth = np.asarray(truth)
+    rmsd = float(np.sqrt(np.mean(np.sum((placed - truth) ** 2, axis=1))))
+    return len(placed) / max(1, n_total), rmsd
+
+
+@pytest.mark.parametrize("protocol", ["AF3_struct", "AF3_struct_free"])
+def test_trace_pipeline_oracle(tmp_path, scenario, protocol):
+    """Both pipelines build near-complete, near-exact models of the same
+    synthetic ground truth, and agree with each other on assignments."""
+    ca, seq, vols = scenario
+    fasta = _write_inputs(tmp_path, ca, seq, protocol)
+    ref = _ref_solver(tmp_path, fasta, protocol, vols)
+    ours = _our_solver(tmp_path, fasta, protocol, vols)
+
+    ref.clustering()
+    ref.fragModeling()
+    ref.prepareSeq4Align()
+    if protocol == "AF3_struct":
+        ref.seqStructAlignWithAF3Structure()
+    else:
+        assert ref.seqStructureAlign()
+    ref.initialModelBuilding()
+    ref.gapFilling()
+
+    ours._clustering()
+    ours.frag_modeling()
+    if protocol == "AF3_struct":
+        ours.align_af3()
+    else:
+        assert ours.align_template_free()
+    ours.build_initial()
+    ours.fill_gaps()
+
+    # candidate index mapping (validated exact by the extraction test)
+    d, ix = _match_coords(ours.cands.coords, ref.CA_cands)
+
+    ref_assign = _assignments(ref.fastas["scn"], len(seq), "ref")
+    our_assign = _assignments(ours.entries[0], len(seq), "ours")
+
+    ref_cov, ref_rmsd = _model_stats(ref_assign, ref.CA_cands, ca)
+    our_cov, our_rmsd = _model_stats(our_assign, ours.cands.coords, ca)
+
+    # both recover the ground truth to sub-voxel accuracy with high coverage
+    assert ref_cov >= 0.8, (ref_cov, ref_rmsd)
+    assert our_cov >= 0.8, (our_cov, our_rmsd)
+    assert ref_rmsd < 1.5, ref_rmsd
+    assert our_rmsd < 1.5, our_rmsd
+    # ours is at least as good as the oracle on its own metric
+    assert our_cov >= ref_cov - 0.05
+    assert our_rmsd <= ref_rmsd + 0.25
+
+    # residue-level cross-agreement: where both assign, they assign the
+    # same candidate for the overwhelming majority of positions
+    both = agree = 0
+    for cid in ref_assign:
+        r = ref_assign[cid]
+        o = our_assign.get(cid, [-1] * len(r))
+        for seq_ix in range(min(len(r), len(o))):
+            if r[seq_ix] != -1 and o[seq_ix] != -1:
+                both += 1
+                agree += int(ix[o[seq_ix]] == r[seq_ix])
+    assert both > 0
+    assert agree / both >= 0.9, (agree, both)

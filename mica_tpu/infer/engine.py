@@ -179,7 +179,7 @@ class SlidingWindowPredictor:
         self.timing: Dict[str, float] = {}
         self._model_step = {}
         self._gather = {}
-        self._scatter = None
+        self._scatter = {}
         self._scatter_sharded = {}
         self._zero_cores = {}
         self._shardings = None
@@ -191,9 +191,9 @@ class SlidingWindowPredictor:
     # ------------------------------------------------------------------
     # jit pieces
     # ------------------------------------------------------------------
-    def _build_model_step(self, with_af: bool):
+    def _build_model_step(self, with_af: bool, full: Optional[bool] = None):
         """Heavy step: (B,w,w,w) windows (+ packed uint32 AF windows) ->
-        core probability blocks.
+        core probability blocks (or full-window blocks when ``full``).
 
         Shapes depend only on (batch, window) — compiled once, served from
         the persistent cache for every map afterwards.  The 24-channel AF
@@ -201,11 +201,12 @@ class SlidingWindowPredictor:
         program, so the float windows never round-trip through HBM between
         the gather and the model.
         """
-        if with_af in self._model_step:
-            return self._model_step[with_af]
+        if full is None:
+            full = self.blend == "average"
+        key = (with_af, full)
+        if key in self._model_step:
+            return self._model_step[key]
         model, core_n, halo = self.model, self.core, self.halo
-
-        full = self.blend == "average"
 
         def step(params, windows, af_packed):
             if af_packed is None:
@@ -232,7 +233,7 @@ class SlidingWindowPredictor:
             )
         else:
             fn = jax.jit(step)
-        self._model_step[with_af] = fn
+        self._model_step[key] = fn
         return fn
 
     def _build_gather(self, with_af: bool):
@@ -282,11 +283,15 @@ class SlidingWindowPredictor:
         self._gather[with_af] = fn
         return fn
 
-    def _build_scatter(self):
-        """Cheap core scatter (replicated outputs); jit wrapper cached."""
-        if self._scatter is not None:
-            return self._scatter
-        core_n = self.core
+    def _build_scatter(self, full_in: bool = False):
+        """Cheap core scatter (replicated outputs); jit wrapper cached.
+
+        ``full_in``: the incoming blocks are FULL windows (the model step
+        ran with ``full=True``, e.g. for reference-layout artifact dumps);
+        in 'core' blend the core is sliced off here before the paste."""
+        if full_in in self._scatter:
+            return self._scatter[full_in]
+        core_n, halo = self.core, self.halo
         average = self.blend == "average"
         bsz = self.batch_size
 
@@ -294,6 +299,11 @@ class SlidingWindowPredictor:
             starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
             bb_v, ca_v, aa_v, cnt_v = vols
             bb_c, ca_c, aa_c = cores
+            if full_in and not average:
+                c = slice(halo, halo + core_n)
+                bb_c = bb_c[:, c, c, c]
+                ca_c = ca_c[:, c, c, c]
+                aa_c = aa_c[:, c, c, c, :]
             for i in range(starts.shape[0]):
                 s = starts[i]
                 if average:
@@ -332,7 +342,7 @@ class SlidingWindowPredictor:
             )
         else:
             fn = jax.jit(scatter, donate_argnums=(0,))
-        self._scatter = fn
+        self._scatter[full_in] = fn
         return fn
 
     def _build_scatter_sharded(self, x_local: int):
@@ -397,16 +407,32 @@ class SlidingWindowPredictor:
         af_encoding: Optional[np.ndarray] = None,
         keep_on_device: bool = False,
         dump_windows_dir: Optional[str] = None,
+        dump_format: str = "compact",
     ) -> Dict[str, np.ndarray]:
         """Predict BB/CA/AA volumes for a normalized ``volume[x,y,z]``.
 
         ``af_encoding`` is (24, X, Y, Z) (binary) or None.
+
+        ``dump_windows_dir``/``dump_format``: per-window artifact dumps.
+        ``"compact"`` writes one npz per window (core blocks, debug use);
+        ``"reference"`` reproduces the reference's per-grid artifact layout
+        (predict.py:353-371) for drop-in interop with external consumers:
+        four files ``grid_i{i}_j{j}_k{k}_<quantity>.npz`` per window, each
+        with the FULL-window ``data`` (channels-first for the 20-way AA
+        probabilities, plus the per-window argmax prediction) and the
+        ``metadata`` dict (i/j/k, di/dj/dk core extents, orig_shape,
+        filename) its ``reconstruct_volume`` (predict.py:439-512) expects.
 
         Returns the reference's four quantities (predict.py:526-531):
         ``backbone_probability``, ``carbon_alpha_probability`` (X,Y,Z),
         ``amino_acid_probability`` (20,X,Y,Z), ``amino_acid_prediction``
         (X,Y,Z; argmax 0..19).
         """
+        if dump_format not in ("compact", "reference"):
+            raise ValueError(f"unknown dump_format {dump_format!r}")
+        dump_reference = dump_windows_dir is not None and dump_format == "reference"
+        if dump_reference and self.shard_volumes:
+            raise ValueError("reference-layout dumps need replicated outputs")
         t0 = time.time()
         core_n, halo, win = self.core, self.halo, self.window
         shape = tuple(volume.shape)
@@ -489,13 +515,14 @@ class SlidingWindowPredictor:
             vols = jax.device_put(vols, self._shardings[0])
 
         gather = self._build_gather(with_af)
+        full_out = average or dump_reference
         if self.shard_volumes:
             scatter = self._build_scatter_sharded(
                 padded_shape[0] // self.mesh.devices.size
             )
         else:
-            scatter = self._build_scatter()
-        model_step = self._build_model_step(with_af)
+            scatter = self._build_scatter(full_in=dump_reference and not average)
+        model_step = self._build_model_step(with_af, full=full_out)
         self.timing["setup"] = time.time() - t0
 
         dump_dir = None
@@ -506,17 +533,39 @@ class SlidingWindowPredictor:
             dump_dir.mkdir(parents=True, exist_ok=True)
 
         def dump(cores, batch_starts, n_valid):
-            # per-window npz artifacts for debugging / parity triage
-            # (reference analog: per-grid npz writes, predict.py:353-371)
             bb_c, ca_c, aa_c = (np.asarray(c) for c in cores)
             for b in range(n_valid):
                 s = batch_starts[b]
-                name = f"win_i{int(s[0])}_j{int(s[1])}_k{int(s[2])}.npz"
-                np.savez_compressed(
-                    dump_dir / name,
-                    backbone=bb_c[b], carbon_alpha=ca_c[b],
-                    amino_acid=aa_c[b], start=np.asarray(s),
-                )
+                i, j, k = (int(v) for v in s)
+                if not dump_reference:
+                    np.savez_compressed(
+                        dump_dir / f"win_i{i}_j{j}_k{k}.npz",
+                        backbone=bb_c[b], carbon_alpha=ca_c[b],
+                        amino_acid=aa_c[b], start=np.asarray(s),
+                    )
+                    continue
+                # reference per-grid artifact layout (predict.py:353-371):
+                # full-window data + the grid metadata reconstruct_volume
+                # (predict.py:439-512) reads back
+                stem = f"grid_i{i}_j{j}_k{k}"
+                aa_first = np.moveaxis(aa_c[b], -1, 0)
+                quantities = {
+                    "backbone_probability": bb_c[b],
+                    "carbon_alpha_probability": ca_c[b],
+                    "amino_acid_probability": aa_first,
+                    "amino_acid_prediction": np.argmax(aa_first, axis=0),
+                }
+                meta = {
+                    "i": i, "j": j, "k": k,
+                    "di": int(min(core_n, shape[0] - i)),
+                    "dj": int(min(core_n, shape[1] - j)),
+                    "dk": int(min(core_n, shape[2] - k)),
+                    "orig_shape": np.asarray(shape),
+                    "filename": stem,
+                }
+                for key, data in quantities.items():
+                    np.savez(dump_dir / f"{stem}_{key}.npz",
+                             data=data, metadata=meta)
 
         t1 = time.time()
         n_compute = starts.shape[0] - n_pad
@@ -533,7 +582,7 @@ class SlidingWindowPredictor:
             # one forward on the all-zero window, broadcast into every
             # empty position (identical inputs -> identical outputs);
             # cached across maps — same params, same all-zero input
-            zkey = (with_af, None if np_af is None else np_af.ndim)
+            zkey = (with_af, None if np_af is None else np_af.ndim, full_out)
             z_cores = self._zero_cores.get(zkey)
             if z_cores is None:
                 zero_wins = jnp.zeros((bsz, win, win, win, 1), jnp.float32)
@@ -558,6 +607,10 @@ class SlidingWindowPredictor:
                 n_valid = max(0, min(bsz, n_empty - ofs))
                 vols = scatter(vols, z_cores, empty_dev, ofs,
                                jnp.int32(n_valid))
+                if dump_dir is not None:
+                    # identical outputs for identical (all-zero) inputs:
+                    # the representative blocks stand in for each window
+                    dump(z_cores, empty_starts[ofs : ofs + bsz], n_valid)
         jax.block_until_ready(vols)
         # force true completion with a 1-voxel readback: on tunneled
         # platforms block_until_ready can return before execution finishes

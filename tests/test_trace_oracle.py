@@ -270,3 +270,49 @@ def test_trace_pipeline_oracle(tmp_path, scenario, protocol):
                 agree += int(ix[o[seq_ix]] == r[seq_ix])
     assert both > 0
     assert agree / both >= 0.9, (agree, both)
+
+
+def test_reference_layout_window_dumps(tmp_path):
+    """The engine's dump_format='reference' artifacts feed the reference's
+    own reconstruct_volume (predict.py:439-512) and reproduce the engine's
+    stitched volumes exactly — drop-in interop for external consumers of
+    the per-grid npz files."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from mica_tpu.infer.engine import SlidingWindowPredictor
+    from mica_tpu.models.init import init_params_fast
+    from mica_tpu.models.mica import MICA
+
+    rng = np.random.default_rng(5)
+    model = MICA(base=16)
+    params = init_params_fast(
+        model, (np.zeros((1, 8, 8, 8, 1)), np.zeros((1, 8, 8, 8, 24)))
+    )
+    core, halo = 12, 2
+    shape = (30, 25, 17)  # non-multiple-of-core: exercises di/dj/dk
+    vol = np.zeros(shape, np.float32)
+    vol[2:20, 2:20, 2:14] = rng.random((18, 18, 12), dtype=np.float32)
+
+    pred = SlidingWindowPredictor(params, base_filters=16,
+                                  dtype=jnp.float32, batch_size=4,
+                                  core=core, halo=halo)
+    dump_dir = tmp_path / "grids_out"
+    out = pred.predict_volume(vol, None, dump_windows_dir=str(dump_dir),
+                              dump_format="reference")
+
+    from utils.predict import CryoEMPredictor
+
+    rec = object.__new__(CryoEMPredictor)  # reconstruct_volume needs only .logger
+    import logging
+
+    rec.logger = logging.getLogger("rec")
+
+    for key in ("backbone_probability", "carbon_alpha_probability",
+                "amino_acid_probability", "amino_acid_prediction"):
+        files = sorted(glob.glob(str(dump_dir / f"*_{key}.npz")))
+        assert len(files) == pred.timing["n_windows"]
+        volume, _ = rec.reconstruct_volume(files, key, padding=halo)
+        assert volume is not None
+        np.testing.assert_allclose(volume, out[key], atol=1e-6)

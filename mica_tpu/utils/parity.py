@@ -110,3 +110,50 @@ def compare_with_torch_reference(
         "ca_max_dev": dev(t_ca, o_ca),
         "aa_max_dev": dev(t_aa, o_aa),
     }
+
+
+def run_reference_prediction(
+    reference_repo: str,
+    checkpoint_path: str,
+    map_path: str,
+    workdir: str,
+) -> Dict[str, np.ndarray]:
+    """Run the reference's full preprocessing+prediction+reconstruction
+    (utils/preprocessing.py:80-148 + utils/predict.py:589-634) as an oracle
+    and return its four volumes.
+
+    Requires the reference checkout's dependencies (torch; mrcfile or the
+    test shim registered in sys.modules).  Used by
+    scripts/fetch_and_validate.py for the real-artifact Dice check.
+    """
+    import sys
+    from pathlib import Path
+
+    if reference_repo not in sys.path:
+        sys.path.insert(0, reference_repo)
+    from utils.create_grids import GridCreator  # type: ignore
+    from utils.predict import CryoEMPredictor  # type: ignore
+    from utils.preprocessing import DataPreprocessor  # type: ignore
+
+    work = Path(workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    norm_path = work / "resampled_normalized_map.mrc"
+    pre = DataPreprocessor(str(map_path), str(work / "AF3_results"),
+                           normalized_map_path=str(norm_path), quiet=True)
+    pre.resample_and_normalize_map(target_voxel_size=1.0)
+    if not norm_path.exists():
+        raise RuntimeError("reference resample/normalize failed")
+
+    grids_dir = work / "grids"
+    GridCreator(quiet=True).create_normalized_map_grids(
+        str(norm_path), str(grids_dir / "normalized_map_grids"),
+        grid_size=48, padding=8,
+    )
+    predictor = CryoEMPredictor(
+        str(checkpoint_path), str(grids_dir), str(work / "out"),
+        save_output=False, device="cpu", quiet=True,
+    )
+    ok, volumes = predictor.run_prediction()
+    if not ok:
+        raise RuntimeError("reference prediction pipeline failed")
+    return volumes

@@ -251,6 +251,10 @@ class SlidingWindowPredictor:
         def gather(padded_map, padded_af, all_starts, ofs):
             starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
 
+            # unrolled true dynamic_slice per window: vmap would rewrite
+            # the slice into one big gather op, which lowers to scalar
+            # indexing on TPU — measured 46 ms/call vs ~2 ms for the
+            # unrolled DMA copies (scripts/profile_engine.py)
             def one(start):
                 win = jax.lax.dynamic_slice(
                     padded_map, (start[0], start[1], start[2]), (w, w, w)
@@ -268,7 +272,11 @@ class SlidingWindowPredictor:
                     )
                 return win, af
 
-            wins, afs = jax.vmap(one)(starts)
+            pairs = [one(starts[b]) for b in range(bsz)]
+            wins = jnp.stack([p[0] for p in pairs])
+            afs = None if pairs[0][1] is None else jnp.stack(
+                [p[1] for p in pairs]
+            )
             return wins[..., None], afs, starts
 
         if self._shardings is not None:
@@ -458,7 +466,12 @@ class SlidingWindowPredictor:
                 np_af = np.pad(af_encoding, pads)
             else:
                 af_arr = np.asarray(af_encoding)
-                binary = np.isin(np.unique(af_arr), (0, 1)).all()
+                # one linear pass — np.unique is a full sort of the 400M-
+                # element array (~17 s of the measured 23 s setup)
+                if af_arr.dtype.kind in "iub":
+                    binary = af_arr.min() >= 0 and af_arr.max() <= 1
+                else:
+                    binary = bool(((af_arr == 0) | (af_arr == 1)).all())
                 if binary:
                     np_af = np.pad(pack_af_encoding(af_arr), pads)
                 else:

@@ -81,15 +81,30 @@ class Conv(nn.Module):
     XLA's DEFAULT precision decomposes f32 contractions into bf16 passes on
     the TPU MXU, which drifts ~0.2 in final logits vs a true-f32 oracle;
     bf16 compute (the production dtype) is unaffected by the flag.
+
+    ``fast``: use the lane-packed reformulation for small-Cout k=3 convs
+    on TPU (see ``conv_same``).  The parameter tree stays identical to the
+    ``nn.Conv`` path (declared under ``Conv_0/{kernel,bias}``), so fast and
+    direct modes share checkpoints.
     """
 
     features: int
     kernel: int = 3
     groups: int = 1
     dtype: Optional[Dtype] = None
+    fast: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (self.fast and self.groups == 1 and self.kernel == 3
+                and self.features < 128):
+            if self.dtype is not None:
+                x = x.astype(self.dtype)  # nn.Conv's dtype promotion
+            k, b = _ConvParams(
+                (3, 3, 3, x.shape[-1], self.features), self.features,
+                name="Conv_0",
+            )()
+            return conv_same(x, k, b, dtype=self.dtype, fast=True)
         f32 = self.dtype is None or self.dtype == jnp.float32
         return nn.Conv(
             features=self.features,
@@ -229,7 +244,8 @@ class MultiScaleInput(nn.Module):
 
         if train and dropout_rate > 0.0:
             af_features = drop(af_features, dropout_rate, train)
-        x_feat = Conv(self.base, 3, dtype=self.dtype, name="feat_conv")(af_features)
+        x_feat = Conv(self.base, 3, dtype=self.dtype, fast=not train,
+                      name="feat_conv")(af_features)
         g = Conv(self.base // 4, 1, dtype=self.dtype, name="feat_gate0")(x_feat)
         g = nn.relu(g)
         g = Conv(1, 1, dtype=self.dtype, name="feat_gate1")(g)
@@ -283,7 +299,8 @@ class ResidualDenseBlock(nn.Module):
         drop = ChannelDropout()
 
         def block(inp, features, name):
-            h = Conv(features, 3, dtype=self.dtype, name=name)(inp)
+            h = Conv(features, 3, dtype=self.dtype, fast=not train,
+                     name=name)(inp)
             h = instance_norm(h)
             h = nn.relu(h)
             return drop(h, dropout_rate, train)
@@ -351,7 +368,8 @@ class FPN(nn.Module):
             # passes vs weighting after the conv
             k, b = _NamedConvParams((3, 3, 3, self.base, self.base),
                                     self.base, name=f"smooth{i}")()
-            s = conv_same(p, k * w[i], b * w[i], dtype=self.dtype)
+            s = conv_same(p, k * w[i], b * w[i], dtype=self.dtype,
+                          fast=not train)
             s = drop(s, dropout_rate * 0.5, train)
             smoothed.append(s)
 
@@ -397,12 +415,22 @@ class TaskHeadParams(nn.Module):
         }
 
 
-def conv_same(x, kernel, bias=None, dtype=None):
+def conv_same(x, kernel, bias=None, dtype=None, fast=False):
     """Stride-1 SAME conv mirroring flax ``nn.Conv`` lowering exactly
     (same dtype promotion, no explicit accumulation-type annotation in
     low-precision mode, ``precision='highest'`` for the float32 parity
     path) so XLA produces the same conv+epilogue fusions it would for the
-    module version."""
+    module version.
+
+    ``fast``: allow the lane-packed reformulation for small-Cout k=3 convs
+    on TPU (ops.conv_fast.packed_conv3 — exact up to float reassociation;
+    inference path only, the direct conv differentiates better)."""
+    if fast:
+        from ..ops.conv_fast import maybe_packed_conv
+
+        out = maybe_packed_conv(x, kernel.astype(x.dtype), bias, dtype=dtype)
+        if out is not None:
+            return out
     f32 = dtype is None or dtype == jnp.float32
     out = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
@@ -425,7 +453,8 @@ class TaskHeadRest(nn.Module):
     def __call__(self, h1, p, dropout_rate: float, train: bool):
         dt = self.dtype
         x = nn.relu(instance_norm(h1))
-        x = conv_same(x, p["conv2"][0], p["conv2"][1], dtype=dt)
+        x = conv_same(x, p["conv2"][0], p["conv2"][1], dtype=dt,
+                      fast=not train)
         x = nn.relu(instance_norm(x))
 
         x = ChannelDropout()(x, dropout_rate, train)
@@ -484,7 +513,7 @@ class FusedHeads(nn.Module):
         h_ca = (
             big[..., 64:128]
             + conv_same(bb_f, p_ca["conv1"][0][:, :, :, fpn_ch:],
-                        dtype=self.dtype)
+                        dtype=self.dtype, fast=not train)
             + p_ca["conv1"][1].astype(big.dtype)
         )
         ca = rest_ca(h_ca, p_ca, dropout_rate, train)
@@ -494,6 +523,7 @@ class FusedHeads(nn.Module):
             + conv_same(
                 jnp.concatenate([bb_f, ca.astype(fpn.dtype)], axis=-1),
                 p_aa["conv1"][0][:, :, :, fpn_ch:], dtype=self.dtype,
+                fast=not train,
             )
             + p_aa["conv1"][1].astype(big.dtype)
         )

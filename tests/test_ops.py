@@ -109,3 +109,23 @@ def test_stem_pallas_matches_xla(rng):
     out = stem_conv_pallas(x[..., 0], combined, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=1e-5)
+
+
+def test_packed_conv3_exact():
+    """Lane-packed conv == direct SAME conv (f32 exact; the zero-padded
+    extra taps contribute nothing)."""
+    import jax.numpy as jnp
+
+    from mica_tpu.models.mica import conv_same
+    from mica_tpu.ops.conv_fast import packed_conv3
+
+    rng = np.random.default_rng(3)
+    for ci, co, P, w in [(16, 8, 4, 16), (24, 16, 2, 12), (8, 4, 4, 8)]:
+        x = jnp.asarray(rng.standard_normal((2, 6, 5, w, ci)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+        direct = np.asarray(conv_same(x, k, b))
+        packed = np.asarray(packed_conv3(x, k, b, phases=P))
+        # identical sums in a different association order (K taps split
+        # differently): ~1e-5-scale f32 noise, nothing structural
+        np.testing.assert_allclose(packed, direct, rtol=1e-4, atol=2e-4)

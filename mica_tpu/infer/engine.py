@@ -3,11 +3,15 @@
 Re-design of the reference predictor (utils/predict.py:307-512).  The
 reference writes one ``.npz`` per window to disk and re-reads them all to
 paste central cores into numpy volumes; here the whole map stays resident
-in HBM and each batch step
+in HBM and each dispatch step
 
-  1. slices a batch of 64-cube windows (density + 24-channel AF3 encoding)
-     out of the padded volumes with ``dynamic_slice`` (no host traffic),
-  2. runs the MICA forward pass (bfloat16 on the MXU by default),
+  1. slices a CHUNK of ``chunk * batch`` 64-cube windows (density +
+     24-channel AF3 encoding) out of the padded volumes with
+     ``dynamic_slice`` (no host traffic),
+  2. runs the MICA forward pass over the chunk (bfloat16 on the MXU by
+     default), one batch at a time inside a single program via a bounded
+     ``fori_loop`` whose trip count is the number of *valid* batches — so
+     a partial tail chunk costs only the batches it actually contains,
   3. applies the softmax postprocessing (drop the "neighbor" class from the
      backbone/CA logits and keep the atom-class probability; 20-way amino
      acid probabilities — predict.py:342-349),
@@ -15,11 +19,22 @@ in HBM and each batch step
      output volumes with ``dynamic_update_slice`` (cores tile the volume,
      so writes never overlap).
 
+Chunking exists because dispatch latency is real: on a tunneled host each
+program dispatch costs ~16 ms of RPC, and a 256-cube map at batch 8 used
+to issue ~81 dispatches (~1.3 s/map of pure loop overhead).  With
+``chunk=8`` the same map is ~12 dispatches.
+
 The pipeline is split into three jit programs: a cheap window gather and a
 cheap core scatter (re-specialized per map shape) around the expensive
-model step whose shapes depend only on (batch, window) — so the heavy XLA
-compile happens once ever per configuration and is served from the
-persistent compilation cache across maps and processes.
+model step whose shapes depend only on (chunk, batch, window) — so the
+heavy XLA compile happens once ever per configuration and is served from
+the persistent compilation cache across maps and processes.
+
+All-zero windows (no density, no AF3 atoms) produce identical outputs, so
+in core-blend mode the accumulator volumes are *initialized* as a tiling
+of the cached zero-window core and only nonempty windows are ever
+gathered/computed/scattered — the empty regions are correct by
+construction and cost zero dispatches.
 
 Multi-chip: the window batch is sharded over the mesh's ``data`` axis; the
 core scatter produces replicated outputs, so XLA inserts the ICI
@@ -145,6 +160,7 @@ class SlidingWindowPredictor:
         halo: int = HALO,
         blend: str = "core",
         shard_volumes: bool = False,
+        chunk: int = 8,
     ):
         """``blend``: 'core' pastes each window's halo-stripped core
         (reference semantics, predict.py:496-501); 'average' accumulates
@@ -159,7 +175,13 @@ class SlidingWindowPredictor:
         lands wholly inside one device's slab; each device masks and
         writes only its own cores (the batch of cores is all-gathered —
         they are small).  Requires a mesh and blend='core' (full-window
-        averaging crosses slab boundaries)."""
+        averaging crosses slab boundaries).
+
+        ``chunk``: batches per dispatch — each gather/model/scatter call
+        processes ``chunk * batch_size`` windows, amortizing per-dispatch
+        RPC latency (~16 ms on tunneled hosts).  The model program's trip
+        count is dynamic, so partial tail chunks compute only their valid
+        batches."""
         if blend not in ("core", "average"):
             raise ValueError(f"unknown blend mode {blend!r}")
         self.blend = blend
@@ -170,6 +192,7 @@ class SlidingWindowPredictor:
         self.halo = int(halo)
         self.window = self.core + 2 * self.halo
         self.batch_size = int(batch_size)
+        self.chunk = max(1, int(chunk))
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         if self.shard_volumes and (self.mesh is None or self.blend != "core"):
             raise ValueError("shard_volumes requires a mesh and blend='core'")
@@ -181,25 +204,29 @@ class SlidingWindowPredictor:
         self._gather = {}
         self._scatter = {}
         self._scatter_sharded = {}
+        self._tile_init = {}
         self._zero_cores = {}
         self._shardings = None
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
-            bshard = NamedSharding(self.mesh, P(DATA_AXIS))
-            self._shardings = (repl, bshard)
+            cshard = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            self._shardings = (repl, cshard)
 
     # ------------------------------------------------------------------
     # jit pieces
     # ------------------------------------------------------------------
     def _build_model_step(self, with_af: bool, full: Optional[bool] = None):
-        """Heavy step: (B,w,w,w) windows (+ packed uint32 AF windows) ->
-        core probability blocks (or full-window blocks when ``full``).
+        """Heavy step: (chunk, B, w, w, w) windows (+ packed uint32 AF
+        windows) -> (chunk, B) core probability blocks (or full-window
+        blocks when ``full``), computing only the first ``n_chunks``
+        batches (bounded ``fori_loop`` with a dynamic trip count — one
+        compiled program serves every tail size).
 
-        Shapes depend only on (batch, window) — compiled once, served from
-        the persistent cache for every map afterwards.  The 24-channel AF
-        encoding arrives as uint32 bitfields and is unpacked INSIDE this
-        program, so the float windows never round-trip through HBM between
-        the gather and the model.
+        Shapes depend only on (chunk, batch, window) — compiled once,
+        served from the persistent cache for every map afterwards.  The
+        24-channel AF encoding arrives as uint32 bitfields and is unpacked
+        INSIDE this program, so the float windows never round-trip through
+        HBM between the gather and the model.
         """
         if full is None:
             full = self.blend == "average"
@@ -207,8 +234,10 @@ class SlidingWindowPredictor:
         if key in self._model_step:
             return self._model_step[key]
         model, core_n, halo = self.model, self.core, self.halo
+        C, bsz, win = self.chunk, self.batch_size, self.window
+        S = win if full else core_n
 
-        def step(params, windows, af_packed):
+        def fwd(params, windows, af_packed):
             if af_packed is None:
                 af = None
             elif af_packed.dtype == jnp.uint32:
@@ -224,12 +253,35 @@ class SlidingWindowPredictor:
                 aa_p[:, sl, sl, sl, :],
             )
 
+        def step(params, windows, af_packed, n_chunks):
+            acc = (
+                jnp.zeros((C, bsz, S, S, S), jnp.float32),
+                jnp.zeros((C, bsz, S, S, S), jnp.float32),
+                jnp.zeros((C, bsz, S, S, S, NUM_AA), jnp.float32),
+            )
+
+            def body(i, acc):
+                wb = jax.lax.dynamic_index_in_dim(windows, i, 0, keepdims=False)
+                ab = (
+                    None
+                    if af_packed is None
+                    else jax.lax.dynamic_index_in_dim(af_packed, i, 0, keepdims=False)
+                )
+                bb, ca, aa = fwd(params, wb, ab)
+                return (
+                    jax.lax.dynamic_update_index_in_dim(acc[0], bb, i, 0),
+                    jax.lax.dynamic_update_index_in_dim(acc[1], ca, i, 0),
+                    jax.lax.dynamic_update_index_in_dim(acc[2], aa, i, 0),
+                )
+
+            return jax.lax.fori_loop(0, n_chunks, body, acc)
+
         if self._shardings is not None:
-            repl, bshard = self._shardings
+            repl, cshard = self._shardings
             fn = jax.jit(
                 step,
-                in_shardings=(repl, bshard, bshard if with_af else None),
-                out_shardings=(bshard, bshard, bshard),
+                in_shardings=(repl, cshard, cshard if with_af else None, repl),
+                out_shardings=(cshard, cshard, cshard),
             )
         else:
             fn = jax.jit(step)
@@ -242,14 +294,17 @@ class SlidingWindowPredictor:
         instead of re-tracing a fresh closure every predict_volume.
 
         Takes the full device-resident ``starts`` array plus a scalar
-        offset (one host->device upload per map, not one per batch) and
-        returns AF windows still bit-packed (the model step unpacks)."""
+        offset (one host->device upload per map, not one per batch),
+        gathers ``chunk * batch`` windows and returns them shaped
+        (chunk, batch, ...) with AF windows still bit-packed (the model
+        step unpacks)."""
         if with_af in self._gather:
             return self._gather[with_af]
-        w, bsz = self.window, self.batch_size
+        w, C, bsz = self.window, self.chunk, self.batch_size
+        n = C * bsz
 
         def gather(padded_map, padded_af, all_starts, ofs):
-            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
+            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (n, 3))
 
             # unrolled true dynamic_slice per window: vmap would rewrite
             # the slice into one big gather op, which lowers to scalar
@@ -272,19 +327,20 @@ class SlidingWindowPredictor:
                     )
                 return win, af
 
-            pairs = [one(starts[b]) for b in range(bsz)]
-            wins = jnp.stack([p[0] for p in pairs])
-            afs = None if pairs[0][1] is None else jnp.stack(
-                [p[1] for p in pairs]
-            )
+            pairs = [one(starts[b]) for b in range(n)]
+            wins = jnp.stack([p[0] for p in pairs]).reshape(C, bsz, w, w, w)
+            afs = None
+            if pairs[0][1] is not None:
+                afs = jnp.stack([p[1] for p in pairs])
+                afs = afs.reshape((C, bsz) + afs.shape[1:])
             return wins[..., None], afs, starts
 
         if self._shardings is not None:
-            repl, bshard = self._shardings
+            repl, cshard = self._shardings
             fn = jax.jit(
                 gather,
                 in_shardings=(repl, repl if with_af else None, repl, repl),
-                out_shardings=(bshard, bshard if with_af else None, repl),
+                out_shardings=(cshard, cshard if with_af else None, repl),
             )
         else:
             fn = jax.jit(gather)
@@ -294,6 +350,10 @@ class SlidingWindowPredictor:
     def _build_scatter(self, full_in: bool = False):
         """Cheap core scatter (replicated outputs); jit wrapper cached.
 
+        Scans over the chunk's ``chunk * batch`` cores; windows at global
+        index >= ``n_valid`` (tail padding / uncomputed batches) are
+        masked out by re-writing the existing block.
+
         ``full_in``: the incoming blocks are FULL windows (the model step
         ran with ``full=True``, e.g. for reference-layout artifact dumps);
         in 'core' blend the core is sliced off here before the paste."""
@@ -301,50 +361,60 @@ class SlidingWindowPredictor:
             return self._scatter[full_in]
         core_n, halo = self.core, self.halo
         average = self.blend == "average"
-        bsz = self.batch_size
+        n = self.chunk * self.batch_size
 
         def scatter(vols, cores, all_starts, ofs, n_valid):
-            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
-            bb_v, ca_v, aa_v, cnt_v = vols
+            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (n, 3))
             bb_c, ca_c, aa_c = cores
+            bb_c = bb_c.reshape((n,) + bb_c.shape[2:])
+            ca_c = ca_c.reshape((n,) + ca_c.shape[2:])
+            aa_c = aa_c.reshape((n,) + aa_c.shape[2:])
             if full_in and not average:
                 c = slice(halo, halo + core_n)
                 bb_c = bb_c[:, c, c, c]
                 ca_c = ca_c[:, c, c, c]
                 aa_c = aa_c[:, c, c, c, :]
-            for i in range(starts.shape[0]):
-                s = starts[i]
+
+            def body(vols, xs):
+                s, bb1, ca1, aa1, i = xs
+                bb_v, ca_v, aa_v, cnt_v = vols
+                valid = i < n_valid
+                pos = (s[0], s[1], s[2])
                 if average:
                     # accumulate full windows at (start - halo) in the
                     # halo-padded accumulator frame (see predict_volume).
-                    # Batch-padding entries (i >= n_valid, repeats of the
-                    # last window) are masked to weight 0 — accumulating
-                    # them would over-weight that window in seam overlaps.
-                    wgt = (i < n_valid).astype(jnp.float32)
-                    pos = (s[0], s[1], s[2])
-                    blk = jax.lax.dynamic_slice(
-                        bb_v, pos, bb_c[i].shape) + wgt * bb_c[i]
+                    # Invalid entries (tail padding — repeats of the last
+                    # window, or uncomputed zero batches) get weight 0.
+                    wgt = valid.astype(jnp.float32)
+                    blk = jax.lax.dynamic_slice(bb_v, pos, bb1.shape) + wgt * bb1
                     bb_v = jax.lax.dynamic_update_slice(bb_v, blk, pos)
-                    blk = jax.lax.dynamic_slice(
-                        ca_v, pos, ca_c[i].shape) + wgt * ca_c[i]
+                    blk = jax.lax.dynamic_slice(ca_v, pos, ca1.shape) + wgt * ca1
                     ca_v = jax.lax.dynamic_update_slice(ca_v, blk, pos)
-                    blk = jax.lax.dynamic_slice(
-                        aa_v, pos + (0,), aa_c[i].shape) + wgt * aa_c[i]
+                    blk = jax.lax.dynamic_slice(aa_v, pos + (0,), aa1.shape) + wgt * aa1
                     aa_v = jax.lax.dynamic_update_slice(aa_v, blk, pos + (0,))
-                    blk = jax.lax.dynamic_slice(
-                        cnt_v, pos, bb_c[i].shape) + wgt
+                    blk = jax.lax.dynamic_slice(cnt_v, pos, bb1.shape) + wgt
                     cnt_v = jax.lax.dynamic_update_slice(cnt_v, blk, pos)
                 else:
-                    bb_v = jax.lax.dynamic_update_slice(bb_v, bb_c[i], (s[0], s[1], s[2]))
-                    ca_v = jax.lax.dynamic_update_slice(ca_v, ca_c[i], (s[0], s[1], s[2]))
-                    aa_v = jax.lax.dynamic_update_slice(aa_v, aa_c[i], (s[0], s[1], s[2], 0))
-            return bb_v, ca_v, aa_v, cnt_v
+                    old = jax.lax.dynamic_slice(bb_v, pos, bb1.shape)
+                    bb_v = jax.lax.dynamic_update_slice(
+                        bb_v, jnp.where(valid, bb1, old), pos)
+                    old = jax.lax.dynamic_slice(ca_v, pos, ca1.shape)
+                    ca_v = jax.lax.dynamic_update_slice(
+                        ca_v, jnp.where(valid, ca1, old), pos)
+                    old = jax.lax.dynamic_slice(aa_v, pos + (0,), aa1.shape)
+                    aa_v = jax.lax.dynamic_update_slice(
+                        aa_v, jnp.where(valid, aa1, old), pos + (0,))
+                return (bb_v, ca_v, aa_v, cnt_v), None
+
+            xs = (starts, bb_c, ca_c, aa_c, jnp.arange(n, dtype=jnp.int32))
+            vols, _ = jax.lax.scan(body, vols, xs)
+            return vols
 
         if self._shardings is not None:
-            repl, bshard = self._shardings
+            repl, cshard = self._shardings
             fn = jax.jit(
                 scatter,
-                in_shardings=((repl,) * 4, (bshard,) * 3, repl, repl, repl),
+                in_shardings=((repl,) * 4, (cshard,) * 3, repl, repl, repl),
                 out_shardings=(repl,) * 4,
                 donate_argnums=(0,),
             )
@@ -359,39 +429,44 @@ class SlidingWindowPredictor:
         Each device owns a contiguous ``x_local``-plane slab of the padded
         volume; cores are 48-aligned and ``x_local`` is a multiple of the
         core size, so every core belongs to exactly one device.  Each
-        device scans the (replicated) batch of cores and writes the ones
-        whose X start falls in its slab — the write itself is masked by
-        re-writing the existing block when the core is foreign.
+        device scans the (replicated) chunk of cores and writes the ones
+        whose X start falls in its slab — foreign or invalid cores are
+        masked by re-writing the existing block.
         """
         if x_local in self._scatter_sharded:
             return self._scatter_sharded[x_local]
-        core_n, bsz, mesh = self.core, self.batch_size, self.mesh
+        core_n, mesh = self.core, self.mesh
+        n = self.chunk * self.batch_size
 
         def scatter_local(vols, cores, all_starts, ofs, n_valid):
-            bb_v, ca_v, aa_v, cnt_v = vols
-            bb_c, ca_c, aa_c = cores
+            bb_cs, ca_cs, aa_cs = cores
+            bb_cs = bb_cs.reshape((n,) + bb_cs.shape[2:])
+            ca_cs = ca_cs.reshape((n,) + ca_cs.shape[2:])
+            aa_cs = aa_cs.reshape((n,) + aa_cs.shape[2:])
             x_off = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * x_local
-            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (bsz, 3))
-            for i in range(bsz):
-                s = starts[i]
+            starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (n, 3))
+
+            def body(vols, xs):
+                s, bb1, ca1, aa1, i = xs
+                bb_v, ca_v, aa_v, cnt_v = vols
                 lx = s[0] - x_off
-                mine = (lx >= 0) & (lx < x_local)
+                mine = (lx >= 0) & (lx < x_local) & (i < n_valid)
                 pos = jnp.clip(lx, 0, x_local - core_n)
-                for vi, (v, c3) in enumerate(((bb_v, bb_c), (ca_v, ca_c))):
-                    old = jax.lax.dynamic_slice(
-                        v, (pos, s[1], s[2]), c3[i].shape)
-                    blk = jnp.where(mine, c3[i], old)
-                    v = jax.lax.dynamic_update_slice(v, blk, (pos, s[1], s[2]))
-                    if vi == 0:
-                        bb_v = v
-                    else:
-                        ca_v = v
+                old = jax.lax.dynamic_slice(bb_v, (pos, s[1], s[2]), bb1.shape)
+                bb_v = jax.lax.dynamic_update_slice(
+                    bb_v, jnp.where(mine, bb1, old), (pos, s[1], s[2]))
+                old = jax.lax.dynamic_slice(ca_v, (pos, s[1], s[2]), ca1.shape)
+                ca_v = jax.lax.dynamic_update_slice(
+                    ca_v, jnp.where(mine, ca1, old), (pos, s[1], s[2]))
                 old = jax.lax.dynamic_slice(
-                    aa_v, (pos, s[1], s[2], 0), aa_c[i].shape)
-                blk = jnp.where(mine, aa_c[i], old)
+                    aa_v, (pos, s[1], s[2], 0), aa1.shape)
                 aa_v = jax.lax.dynamic_update_slice(
-                    aa_v, blk, (pos, s[1], s[2], 0))
-            return bb_v, ca_v, aa_v, cnt_v
+                    aa_v, jnp.where(mine, aa1, old), (pos, s[1], s[2], 0))
+                return (bb_v, ca_v, aa_v, cnt_v), None
+
+            xs = (starts, bb_cs, ca_cs, aa_cs, jnp.arange(n, dtype=jnp.int32))
+            vols, _ = jax.lax.scan(body, vols, xs)
+            return vols
 
         x4 = P(DATA_AXIS, None, None, None)
         x3 = P(DATA_AXIS, None, None)
@@ -407,6 +482,69 @@ class SlidingWindowPredictor:
         )
         self._scatter_sharded[x_local] = fn
         return fn
+
+    def _build_tile_init(self, padded_shape):
+        """Accumulator init as a tiling of the zero-window core (core
+        blend): every core position starts out holding the all-zero
+        window's prediction, so empty windows never need to be computed
+        or scattered — nonempty cores simply overwrite their slots.
+
+        Pure broadcast+reshape — a few ms of HBM writes, compiled per
+        padded shape."""
+        key = padded_shape
+        if key in self._tile_init:
+            return self._tile_init[key]
+        core_n = self.core
+        reps = tuple(p // core_n for p in padded_shape)
+
+        def tile(z_bb, z_ca, z_aa):
+            def t3(c):
+                b = jnp.broadcast_to(
+                    c[None, :, None, :, None, :],
+                    (reps[0], core_n, reps[1], core_n, reps[2], core_n),
+                )
+                return b.reshape(padded_shape)
+
+            aa = jnp.broadcast_to(
+                z_aa[None, :, None, :, None, :, :],
+                (reps[0], core_n, reps[1], core_n, reps[2], core_n, NUM_AA),
+            ).reshape(padded_shape + (NUM_AA,))
+            return t3(z_bb), t3(z_ca), aa, jnp.zeros((1, 1, 1), jnp.float32)
+
+        if self.shard_volumes:
+            xs3 = NamedSharding(self.mesh, P(DATA_AXIS))
+            xs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+            repl = self._shardings[0]
+            fn = jax.jit(tile, out_shardings=(xs3, xs3, xs4, repl))
+        elif self._shardings is not None:
+            repl = self._shardings[0]
+            fn = jax.jit(tile, out_shardings=(repl,) * 4)
+        else:
+            fn = jax.jit(tile)
+        self._tile_init[key] = fn
+        return fn
+
+    def _get_zero_cores(self, with_af: bool, af_ndim, full_out: bool):
+        """(chunk, batch) blocks for the all-zero window, cached across
+        maps — same params, same all-zero input.  Only chunk 0 is
+        computed (n_chunks=1); every window in a batch is identical, so
+        position [0, 0] is the canonical zero block."""
+        zkey = (with_af, af_ndim, full_out)
+        z = self._zero_cores.get(zkey)
+        if z is None:
+            C, bsz, win = self.chunk, self.batch_size, self.window
+            zero_wins = jnp.zeros((C, bsz, win, win, win, 1), jnp.float32)
+            if not with_af:
+                zero_afs = None
+            elif af_ndim == 4:
+                zero_afs = jnp.zeros(
+                    (C, bsz, win, win, win, NUM_AF_CHANNELS), jnp.float32)
+            else:
+                zero_afs = jnp.zeros((C, bsz, win, win, win), jnp.uint32)
+            model_step = self._build_model_step(with_af, full=full_out)
+            z = model_step(self.params, zero_wins, zero_afs, 1)
+            self._zero_cores[zkey] = z
+        return z
 
     # ------------------------------------------------------------------
     def predict_volume(
@@ -488,10 +626,10 @@ class SlidingWindowPredictor:
         n_windows = starts.shape[0]
 
         # All-zero windows (no density, no AF3 atoms) are identical inputs
-        # and therefore produce identical outputs: compute one
-        # representative and broadcast its cores.  Real maps are typically
-        # 40-60% empty windows, so this roughly halves the compute while
-        # staying output-identical.
+        # and therefore produce identical outputs — real maps are
+        # typically 40-60% empty windows.  In core blend the accumulators
+        # are tile-initialized with the zero-window core, so empties cost
+        # nothing; in average blend the cached zero block is scattered.
         counts = window_counts(shape, core_n)
         nonempty = _window_nonempty(np_padded, counts, core_n, halo)
         if with_af:
@@ -502,33 +640,19 @@ class SlidingWindowPredictor:
         self.timing["n_empty"] = int(empty.sum())
 
         starts = compute_starts
-        bsz = self.batch_size
-        n_pad = (-starts.shape[0]) % bsz
+        n_compute = starts.shape[0]
+        bsz, C = self.batch_size, self.chunk
+        nwin = C * bsz
+        n_pad = (-n_compute) % nwin
         if n_pad:
-            starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)])
+            pad_src = starts[-1:] if n_compute else np.zeros((1, 3), np.int32)
+            starts = np.concatenate([starts, np.repeat(pad_src, n_pad, axis=0)])
 
         average = self.blend == "average"
         acc_shape = tuple(np_padded.shape) if average else padded_shape
-        vols = (
-            jnp.zeros(acc_shape, jnp.float32),
-            jnp.zeros(acc_shape, jnp.float32),
-            jnp.zeros(acc_shape + (NUM_AA,), jnp.float32),
-            jnp.zeros(acc_shape if average else (1, 1, 1), jnp.float32),
-        )
-        if self.shard_volumes:
-            xs = NamedSharding(self.mesh, P(DATA_AXIS))
-            xs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
-            vols = (
-                jax.device_put(vols[0], xs),
-                jax.device_put(vols[1], xs),
-                jax.device_put(vols[2], xs4),
-                jax.device_put(vols[3], self._shardings[0]),
-            )
-        elif self._shardings is not None:
-            vols = jax.device_put(vols, self._shardings[0])
 
-        gather = self._build_gather(with_af)
         full_out = average or dump_reference
+        gather = self._build_gather(with_af)
         if self.shard_volumes:
             scatter = self._build_scatter_sharded(
                 padded_shape[0] // self.mesh.devices.size
@@ -536,6 +660,31 @@ class SlidingWindowPredictor:
         else:
             scatter = self._build_scatter(full_in=dump_reference and not average)
         model_step = self._build_model_step(with_af, full=full_out)
+
+        need_zero = (not average) or len(empty_starts)
+        z_cores = (
+            self._get_zero_cores(with_af, None if np_af is None else np_af.ndim,
+                                 full_out)
+            if need_zero else None
+        )
+
+        if average:
+            vols = (
+                jnp.zeros(acc_shape, jnp.float32),
+                jnp.zeros(acc_shape, jnp.float32),
+                jnp.zeros(acc_shape + (NUM_AA,), jnp.float32),
+                jnp.zeros(acc_shape, jnp.float32),
+            )
+            if self._shardings is not None:
+                vols = jax.device_put(vols, self._shardings[0])
+        else:
+            # tile-init with the zero-window core: empty windows are
+            # correct by construction and never dispatched
+            z_bb, z_ca, z_aa = (z[0, 0] for z in z_cores)
+            if full_out:  # full windows -> slice the core
+                c = slice(halo, halo + core_n)
+                z_bb, z_ca, z_aa = z_bb[c, c, c], z_ca[c, c, c], z_aa[c, c, c, :]
+            vols = self._build_tile_init(padded_shape)(z_bb, z_ca, z_aa)
         self.timing["setup"] = time.time() - t0
 
         dump_dir = None
@@ -546,7 +695,9 @@ class SlidingWindowPredictor:
             dump_dir.mkdir(parents=True, exist_ok=True)
 
         def dump(cores, batch_starts, n_valid):
-            bb_c, ca_c, aa_c = (np.asarray(c) for c in cores)
+            bb_c, ca_c, aa_c = (
+                np.asarray(c).reshape((-1,) + c.shape[2:]) for c in cores
+            )
             for b in range(n_valid):
                 s = batch_starts[b]
                 i, j, k = (int(v) for v in s)
@@ -581,49 +732,41 @@ class SlidingWindowPredictor:
                              data=data, metadata=meta)
 
         t1 = time.time()
-        n_compute = starts.shape[0] - n_pad
         starts_dev = jnp.asarray(starts) if starts.shape[0] else None
-        for ofs in range(0, starts.shape[0], bsz):
+        for ofs in range(0, starts.shape[0], nwin):
+            n_valid = max(0, min(nwin, n_compute - ofs))
+            n_chunks = -(-n_valid // bsz)
             wins, afs, batch = gather(padded_map, padded_af, starts_dev, ofs)
-            cores = model_step(self.params, wins, afs)
-            n_valid = max(0, min(bsz, n_compute - ofs))
-            vols = scatter(vols, cores, batch, 0, jnp.int32(n_valid))
+            cores = model_step(self.params, wins, afs, n_chunks)
+            vols = scatter(vols, cores, batch, 0, n_valid)
             if dump_dir is not None:
-                dump(cores, starts[ofs : ofs + bsz], n_valid)
+                dump(cores, starts[ofs : ofs + nwin], n_valid)
 
-        if len(empty_starts):
-            # one forward on the all-zero window, broadcast into every
-            # empty position (identical inputs -> identical outputs);
-            # cached across maps — same params, same all-zero input
-            zkey = (with_af, None if np_af is None else np_af.ndim, full_out)
-            z_cores = self._zero_cores.get(zkey)
-            if z_cores is None:
-                zero_wins = jnp.zeros((bsz, win, win, win, 1), jnp.float32)
-                if not with_af:
-                    zero_afs = None
-                elif np_af.ndim == 4:
-                    zero_afs = jnp.zeros(
-                        (bsz, win, win, win, np_af.shape[3]), jnp.float32)
-                else:
-                    zero_afs = jnp.zeros((bsz, win, win, win), jnp.uint32)
-                z_cores = model_step(self.params, zero_wins, zero_afs)
-                self._zero_cores[zkey] = z_cores
-            n_empty = len(empty_starts)
-            n_pad_e = (-n_empty) % bsz
+        n_empty = len(empty_starts)
+        if n_empty and average:
+            # scatter the cached zero block into every empty position
+            # (identical inputs -> identical outputs), chunked
+            z_bcast = tuple(jnp.broadcast_to(z[0:1, 0:1], z.shape)
+                            for z in z_cores)
+            n_pad_e = (-n_empty) % nwin
             if n_pad_e:
                 empty_starts = np.concatenate(
                     [empty_starts,
                      np.repeat(empty_starts[-1:], n_pad_e, axis=0)]
                 )
             empty_dev = jnp.asarray(empty_starts)
-            for ofs in range(0, len(empty_starts), bsz):
-                n_valid = max(0, min(bsz, n_empty - ofs))
-                vols = scatter(vols, z_cores, empty_dev, ofs,
-                               jnp.int32(n_valid))
-                if dump_dir is not None:
-                    # identical outputs for identical (all-zero) inputs:
-                    # the representative blocks stand in for each window
-                    dump(z_cores, empty_starts[ofs : ofs + bsz], n_valid)
+            for ofs in range(0, len(empty_starts), nwin):
+                n_valid = max(0, min(nwin, n_empty - ofs))
+                vols = scatter(vols, z_bcast, empty_dev, ofs, n_valid)
+        if n_empty and dump_dir is not None:
+            # identical outputs for identical (all-zero) inputs: the
+            # representative blocks stand in for each window — host-side
+            # only, no device work
+            z_rep = tuple(jnp.broadcast_to(z[0:1, 0:1], z.shape)
+                          for z in z_cores)
+            for ofs in range(0, n_empty, nwin):
+                n_valid = max(0, min(nwin, n_empty - ofs))
+                dump(z_rep, empty_starts[ofs : ofs + nwin], n_valid)
         jax.block_until_ready(vols)
         # force true completion with a 1-voxel readback: on tunneled
         # platforms block_until_ready can return before execution finishes

@@ -43,7 +43,7 @@ def main():
          jnp.zeros((1, 64, 64, 64, 24), jnp.float32)),
     )
 
-    pred = SlidingWindowPredictor(params, batch_size=8, dtype=jnp.bfloat16)
+    pred = SlidingWindowPredictor(params, batch_size=8, dtype=jnp.bfloat16, chunk=1)
 
     # full predict (warm + timed) for the baseline number
     pred.predict_volume(volume, af, keep_on_device=True)
@@ -82,14 +82,14 @@ def main():
 
     # warm each
     wins, afs, batch = gather(padded_map, padded_af, starts_dev, 0)
-    cores = model_step(pred.params, wins, afs)
+    cores = model_step(pred.params, wins, afs, 1)
     acc = (
         jnp.zeros(padded_shape, jnp.float32),
         jnp.zeros(padded_shape, jnp.float32),
         jnp.zeros(padded_shape + (20,), jnp.float32),
         jnp.zeros((1, 1, 1), jnp.float32),
     )
-    acc = scatter(acc, cores, batch, 0, jnp.int32(8))
+    acc = scatter(acc, cores, batch, 0, 8)
     force(acc[0])
 
     # gather chain
@@ -103,7 +103,7 @@ def main():
     # model chain (reuse one gathered batch)
     t0 = time.time()
     for i in range(n_batches):
-        cores = model_step(pred.params, wins, afs)
+        cores = model_step(pred.params, wins, afs, 1)
     force(cores)
     t_model = time.time() - t0
     print(f"model  x{n_batches}: {t_model:.3f}s ({t_model/n_batches*1e3:.1f} ms/call)")
@@ -111,7 +111,7 @@ def main():
     # scatter chain (donated accumulators, fixed cores)
     t0 = time.time()
     for i in range(n_batches):
-        acc = scatter(acc, cores, batch, 0, jnp.int32(8))
+        acc = scatter(acc, cores, batch, 0, 8)
     force(acc[0])
     t_scatter = time.time() - t0
     print(f"scatter x{n_batches}: {t_scatter:.3f}s ({t_scatter/n_batches*1e3:.1f} ms/call)")
@@ -120,8 +120,8 @@ def main():
     t0 = time.time()
     for i in range(n_batches):
         wins, afs, batch = gather(padded_map, padded_af, starts_dev, i * bsz)
-        cores = model_step(pred.params, wins, afs)
-        acc = scatter(acc, cores, batch, 0, jnp.int32(8))
+        cores = model_step(pred.params, wins, afs, 1)
+        acc = scatter(acc, cores, batch, 0, 8)
     force(acc[0])
     t_all = time.time() - t0
     print(f"interleaved x{n_batches}: {t_all:.3f}s "
@@ -131,13 +131,13 @@ def main():
     import os
 
     os.environ["MICA_NO_PACKED"] = "1"
-    pred2 = SlidingWindowPredictor(params, batch_size=8, dtype=jnp.bfloat16)
+    pred2 = SlidingWindowPredictor(params, batch_size=8, dtype=jnp.bfloat16, chunk=1)
     model_step2 = pred2._build_model_step(True)
-    cores = model_step2(pred2.params, wins, afs)
+    cores = model_step2(pred2.params, wins, afs, 1)
     force(cores)
     t0 = time.time()
     for i in range(n_batches):
-        cores = model_step2(pred2.params, wins, afs)
+        cores = model_step2(pred2.params, wins, afs, 1)
     force(cores)
     t2 = time.time() - t0
     print(f"model (no packed convs) x{n_batches}: {t2:.3f}s "

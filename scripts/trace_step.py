@@ -33,22 +33,22 @@ def main():
         (jnp.zeros((1, 64, 64, 64, 1), jnp.float32),
          jnp.zeros((1, 64, 64, 64, 24), jnp.float32)),
     )
-    pred = SlidingWindowPredictor(params, batch_size=8, dtype=jnp.bfloat16)
+    pred = SlidingWindowPredictor(params, batch_size=8, dtype=jnp.bfloat16, chunk=1)
     step = pred._build_model_step(True)
 
-    wins = jnp.asarray(rng.random((8, 64, 64, 64, 1), np.float32))
+    wins = jnp.asarray(rng.random((1, 8, 64, 64, 64, 1), np.float32))
     afs = jnp.asarray(
-        (rng.random((8, 64, 64, 64)) * 2**24).astype(np.uint32)
+        (rng.random((1, 8, 64, 64, 64)) * 2**24).astype(np.uint32)
     )
 
-    out = step(pred.params, wins, afs)
+    out = step(pred.params, wins, afs, 1)
     jax.block_until_ready(out)
     _ = np.asarray(out[0].ravel()[0])
 
     trace_dir = "/tmp/mica_trace"
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
-            out = step(pred.params, wins, afs)
+            out = step(pred.params, wins, afs, 1)
         jax.block_until_ready(out)
         _ = np.asarray(out[0].ravel()[0])
 

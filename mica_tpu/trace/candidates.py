@@ -166,11 +166,18 @@ def pair_scores_sparse(coords: np.ndarray, ii: np.ndarray, jj: np.ndarray,
     dis_score = np.maximum(0.0, 1.0 - dis / 2.0)
 
     shape = np.asarray(bb_prob.shape)
-    bb = np.zeros(len(ii))
-    for j in range(1, 5):
-        pts = np.rint(j / 5 * coords[jj] + (5 - j) / 5 * coords[ii]).astype(np.int64)
-        pts = np.clip(pts, 0, shape - 1)
-        bb += bb_prob[pts[:, 0], pts[:, 1], pts[:, 2]]
+    pts = np.concatenate([
+        np.clip(
+            np.rint(j / 5 * coords[jj] + (5 - j) / 5 * coords[ii]).astype(np.int64),
+            0, shape - 1,
+        )
+        for j in range(1, 5)
+    ])  # (4P, 3) — one gather; bb_prob may be a device array, in which
+    # case the lookup runs on device and only the (4, P) values transfer
+    vals = np.asarray(
+        bb_prob[pts[:, 0], pts[:, 1], pts[:, 2]], dtype=np.float64
+    ).reshape(4, len(ii))
+    bb = vals.sum(axis=0)
     return ii, jj, (dis_score + bb / 4.0) / 2.0
 
 

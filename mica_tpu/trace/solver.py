@@ -227,16 +227,11 @@ class Solver:
         out = predictor.predict_volume(
             self.prepared.volume, encoding, keep_on_device=True
         )
-        # BB/CA volumes come to host (clustering/NMS/graph run there); the
-        # 20-channel AA volume stays on device — candidate extraction
-        # gathers only the needed neighborhoods, avoiding a ~20x larger
-        # device->host transfer
-        self.volumes = {
-            "backbone_probability": np.asarray(out["backbone_probability"]),
-            "carbon_alpha_probability": np.asarray(out["carbon_alpha_probability"]),
-            "amino_acid_probability": out["amino_acid_probability"],
-            "amino_acid_prediction": out["amino_acid_prediction"],
-        }
+        # every volume stays on device: candidate extraction runs as one
+        # jitted program (candidates_device.py) and only O(candidates)
+        # outputs reach the host; the CA volume is materialized lazily iff
+        # the AF3 aligner needs its pointwise integrals (align_af3)
+        self.volumes = dict(out)
         self.time_cost["nnPred"] = time.time() - t0
 
         self._timed("clustering", self._clustering)
@@ -247,11 +242,41 @@ class Solver:
         self.prepared = prepared
 
     def _clustering(self) -> None:
+        vols = self.volumes
+        on_device = not isinstance(vols["carbon_alpha_probability"], np.ndarray)
+        if on_device:
+            # one jitted program on the accelerator; only O(candidates)
+            # data crosses the device->host link (morphology clustering
+            # semantics — candidates_device.py)
+            from .candidates import build_neighbor_structure
+            from .candidates_device import extract_candidates_device
+
+            d = extract_candidates_device(
+                vols["carbon_alpha_probability"],
+                vols["backbone_probability"],
+                vols["amino_acid_probability"],
+                ca_score_threshold=self.config.ca_score_threshold,
+                cluster_eps=self.config.cluster_eps,
+                nms_radius_sq=self.config.nms_radius,
+            )
+            if d is not None:
+                self.cands = build_neighbor_structure(
+                    d["coords"], d["aa"], d["pred"],
+                    vols["backbone_probability"],
+                )
+                logger.info("candidates: %d (device extraction)",
+                            len(self.cands))
+                return
+            logger.info("device extraction unavailable; falling back to "
+                        "the host pipeline")
+            for k in ("carbon_alpha_probability", "backbone_probability",
+                      "amino_acid_prediction"):
+                vols[k] = np.asarray(vols[k])
         self.cands = extract_candidates(
-            self.volumes["carbon_alpha_probability"],
-            self.volumes["backbone_probability"],
-            self.volumes["amino_acid_probability"],
-            self.volumes["amino_acid_prediction"],
+            vols["carbon_alpha_probability"],
+            vols["backbone_probability"],
+            vols["amino_acid_probability"],
+            vols["amino_acid_prediction"],
             ca_score_threshold=self.config.ca_score_threshold,
             cluster_eps=self.config.cluster_eps,
             cluster_min_points=self.config.cluster_min_points,
@@ -264,9 +289,15 @@ class Solver:
         self.fragments = build_fragments(self.cands, self.config.frags_len)
 
     def align_af3(self) -> None:
+        # the AF3 aligner's CA integrals are many small pointwise host
+        # lookups — materialize the volume on host once, here only
+        ca = self.volumes["carbon_alpha_probability"]
+        if not isinstance(ca, np.ndarray):
+            ca = np.asarray(ca)
+            self.volumes["carbon_alpha_probability"] = ca
         aligner = AF3Aligner(
             self.entries, self.cands,
-            self.volumes["carbon_alpha_probability"],
+            ca,
             n_hop=self.config.n_hop, struct_len=self.config.struct_len,
             neigh_mat_threshold=self.config.neigh_mat_threshold,
         )

@@ -52,27 +52,37 @@ def main():
         jax.block_until_ready(out)
         _ = np.asarray(out[0].ravel()[0])
 
-    # parse the xplane and aggregate device op durations
-    files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    files.sort(key=lambda f: -len(f))
-    assert files, "no xplane captured"
-    from tensorboard_plugin_profile.convert.raw_to_tool_data import (
-        xspace_to_tool_data,
-    )
-
-    data, _ = xspace_to_tool_data([files[-1]], "framework_op_stats", {})
+    # parse the Chrome trace JSON the profiler writes next to the xplane
+    # (tensorboard_plugin_profile's converter is broken in this image) and
+    # aggregate device-lane op durations by name
     import gzip
-    import io
     import json
+    from collections import defaultdict
 
-    # framework_op_stats returns json (possibly gzipped str)
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-        data = data.decode()
-    print(data[:2000])
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    assert files, "no trace captured"
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # device lanes: pids whose process_name mentions TPU/device XLA ops
+    names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in names.items()
+                if "/device:" in n or "TPU" in n or "XLA Op" in n}
+    if not dev_pids:  # fall back: everything except python/host threads
+        dev_pids = {p for p, n in names.items() if "python" not in n.lower()}
+    agg = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
+            agg[e["name"]] += e["dur"]
+            total += e["dur"]
+    print(f"lanes: {sorted(names[p] for p in dev_pids)}")
+    print(f"total device time: {total/1e3/3:.1f} ms/step (3 steps)")
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:60]:
+        print(f"{dur/1e3/3:9.2f} ms  {dur/total*100:5.1f}%  {name[:110]}")
     sys.stdout.flush()
 
 

@@ -38,8 +38,19 @@ def rebuild_ca_model(
     out_path: str,
     pulchra_path: Optional[str] = None,
     max_jobs: int = 30,
+    ca_optimize: bool = False,
+    hbond_optimize: bool = False,
+    max_shift: Optional[float] = None,
 ) -> Optional[str]:
-    """CA-only PDB -> all-atom PDB.  Returns the output path or None."""
+    """CA-only PDB -> all-atom PDB.  Returns the output path or None.
+
+    ``ca_optimize``: optimize CA positions before rebuilding (the reference
+    tool's default mode — MICA's pipeline passes ``-c`` to skip it,
+    modeler.py:371, so the default here is off).  ``hbond_optimize``: refine
+    peptide planes to improve the backbone H-bond pattern (reference ``-q``).
+    Native tool only; the external-PULCHRA compatibility path always runs
+    with ``-c`` like the reference pipeline.
+    """
     ca_model_path = str(ca_model_path)
     if not Path(ca_model_path).exists():
         logger.error("CA model %s does not exist", ca_model_path)
@@ -47,8 +58,16 @@ def rebuild_ca_model(
     if pulchra_path:
         return _rebuild_with_pulchra(ca_model_path, out_path, pulchra_path, max_jobs)
     binary = ensure_built()
+    cmd = [str(binary)]
+    if ca_optimize:
+        cmd.append("--ca-optimize")
+    if hbond_optimize:
+        cmd.append("--hbond-optimize")
+    if max_shift is not None:
+        cmd += ["--max-shift", str(max_shift)]
+    cmd += [ca_model_path, str(out_path)]
     res = subprocess.run(
-        [str(binary), ca_model_path, str(out_path)],
+        cmd,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
     if res.returncode != 0:

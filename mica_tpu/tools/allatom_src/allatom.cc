@@ -659,6 +659,307 @@ void relax_clashes(std::vector<CAChainFragment> &frags, int iters = 3) {
 }
 
 // ---------------------------------------------------------------------------
+// CA-position optimization (the reference tool's default mode, skipped by
+// MICA via `pulchra -c` — reference modeler.py:371; pulchra.c:801).
+//
+// Same published energy model as PULCHRA's ca_optimize — four terms over
+// the CA trace:
+//   bond      k_b (d - 3.8)^2            consecutive CAs within a fragment
+//   restraint k_r |x - x0|^2             only beyond `max_shift` from input
+//   angle     k_a (theta - clamp(theta, 80deg, 150deg))^2
+//   xvol      k_x (d - 3.5)^2            pairs |i-j|>2 (any fragment), d<3.5
+// but an independent implementation: deterministic Armijo-backtracking
+// gradient descent (no RNG jitter — the reference perturbs each line-search
+// step by rnd()), a cell list for the excluded-volume pairs (the reference
+// is O(N^2) per energy evaluation), and a consistent xvol energy/gradient
+// pair (the reference's xvol energy is d^2 while its gradient is that of
+// 4 (d - 3.5)^2; we use the harmonic the gradient implies).
+
+struct CAOptStats {
+  double e0 = 0, e1 = 0;
+  int iters = 0;
+};
+
+CAOptStats ca_optimize(std::vector<CAChainFragment> &frags,
+                       double max_shift = 3.0, int max_iters = 100) {
+  const double K_BOND = 10.0, K_ANG = 20.0, K_REST = 0.01, K_XVOL = 10.0;
+  const double D_BOND = 3.8, D_XVOL = 3.5;
+  const double TH_LO = 80.0 * M_PI / 180.0, TH_HI = 150.0 * M_PI / 180.0;
+
+  struct Node {
+    Vec3 *pos;
+    Vec3 init;
+    int frag, idx;  // fragment id and index within the fragment
+  };
+  std::vector<Node> ca;
+  for (size_t f = 0; f < frags.size(); ++f)
+    for (size_t i = 0; i < frags[f].residues.size(); ++i) {
+      Residue &r = frags[f].residues[i];
+      ca.push_back({&r.ca, r.ca, (int)f, (int)i});
+    }
+  const int n = (int)ca.size();
+  CAOptStats st;
+  if (n < 2) return st;
+
+  std::vector<Vec3> x(n), grad(n);
+  for (int i = 0; i < n; ++i) x[i] = ca[i].init;
+
+  // excluded-volume pair list from a cell list; rebuilt when positions
+  // move, reused across line-search evaluations
+  std::vector<std::pair<int, int>> xpairs;
+  auto build_pairs = [&]() {
+    xpairs.clear();
+    HashGrid grid(D_XVOL);
+    for (int i = 0; i < n; ++i) grid.insert(x[i], i);
+    for (int i = 0; i < n; ++i)
+      grid.neighbors(x[i], [&](int j) {
+        if (j <= i) return;
+        bool adjacent = ca[i].frag == ca[j].frag &&
+                        std::abs(ca[i].idx - ca[j].idx) <= 2;
+        if (adjacent) return;
+        if (dist(x[i], x[j]) < D_XVOL + 0.5) xpairs.emplace_back(i, j);
+      });
+  };
+
+  // energy and (optionally) gradient at positions p
+  auto energy = [&](const std::vector<Vec3> &p, bool want_grad) {
+    double e = 0;
+    if (want_grad)
+      for (auto &g : grad) g = Vec3(0, 0, 0);
+    for (int i = 0; i < n; ++i) {
+      // restraint to the input position beyond the free radius
+      Vec3 d0 = p[i] - ca[i].init;
+      double r0 = norm(d0);
+      if (r0 > max_shift) {
+        e += K_REST * r0 * r0;
+        if (want_grad) grad[i] = grad[i] + d0 * (2.0 * K_REST);
+      }
+      // bond to the previous CA in the same fragment
+      if (ca[i].idx > 0) {
+        Vec3 db = p[i] - p[i - 1];
+        double d = norm(db);
+        double dd = d - D_BOND;
+        e += K_BOND * dd * dd;
+        if (want_grad && d > 1e-9) {
+          Vec3 g = db * (2.0 * K_BOND * dd / d);
+          grad[i] = grad[i] + g;
+          grad[i - 1] = grad[i - 1] - g;
+        }
+      }
+      // pseudo-angle window [80, 150] degrees
+      if (ca[i].idx > 0 && i + 1 < n && ca[i + 1].frag == ca[i].frag &&
+          ca[i + 1].idx == ca[i].idx + 1) {
+        Vec3 a = p[i - 1] - p[i], b = p[i + 1] - p[i];
+        double la = norm(a), lb = norm(b);
+        if (la > 1e-9 && lb > 1e-9) {
+          double c = dot(a, b) / (la * lb);
+          c = std::max(-1.0, std::min(1.0, c));
+          double th = std::acos(c);
+          double diff = th < TH_LO ? th - TH_LO : (th > TH_HI ? th - TH_HI : 0.0);
+          e += K_ANG * diff * diff;
+          if (want_grad && diff != 0.0) {
+            double s = std::sqrt(std::max(1e-12, 1.0 - c * c));
+            // d(theta)/d(p): standard angle gradient
+            Vec3 ga = (a * (c / la) - b * (1.0 / lb)) * (1.0 / (la * s));
+            Vec3 gb = (b * (c / lb) - a * (1.0 / la)) * (1.0 / (lb * s));
+            double w = 2.0 * K_ANG * diff;
+            grad[i - 1] = grad[i - 1] + ga * w;
+            grad[i + 1] = grad[i + 1] + gb * w;
+            grad[i] = grad[i] - (ga + gb) * w;
+          }
+        }
+      }
+    }
+    for (auto &pr : xpairs) {
+      Vec3 d = p[pr.first] - p[pr.second];
+      double r = norm(d);
+      if (r < D_XVOL && r > 1e-9) {
+        double dd = r - D_XVOL;
+        e += K_XVOL * dd * dd;
+        if (want_grad) {
+          Vec3 g = d * (2.0 * K_XVOL * dd / r);
+          grad[pr.first] = grad[pr.first] + g;
+          grad[pr.second] = grad[pr.second] - g;
+        }
+      }
+    }
+    return e;
+  };
+
+  build_pairs();
+  double e = energy(x, true);
+  st.e0 = e;
+  std::vector<Vec3> trial(n);
+  int stall = 0;
+  for (int it = 0; it < max_iters && stall < 3; ++it) {
+    double gnorm2 = 0;
+    for (auto &g : grad) gnorm2 += dot(g, g);
+    double grms = std::sqrt(gnorm2 / n);
+    if (grms < 0.01) break;
+    // Armijo backtracking along -grad
+    double alpha = 1.0 / std::max(1.0, std::sqrt(gnorm2));
+    double e_new = e;
+    bool moved = false;
+    for (int ls = 0; ls < 25; ++ls) {
+      for (int i = 0; i < n; ++i) trial[i] = x[i] - grad[i] * alpha;
+      double et = energy(trial, false);
+      if (et < e - 1e-4 * alpha * gnorm2) {
+        x.swap(trial);
+        e_new = et;
+        moved = true;
+        break;
+      }
+      alpha *= 0.5;
+    }
+    if (!moved) break;
+    stall = (e - e_new < 1e-3) ? stall + 1 : 0;
+    e = e_new;
+    build_pairs();
+    e = energy(x, true);
+    st.iters = it + 1;
+  }
+  st.e1 = e;
+  for (int i = 0; i < n; ++i) *ca[i].pos = x[i];
+  return st;
+}
+
+// ---------------------------------------------------------------------------
+// H-bond-aware backbone refinement (the reference tool's `-q` mode,
+// pulchra.c:2996 optimize_backbone / :2732 hb_energy).  For each residue
+// whose backbone amide N-H lacks a good hydrogen bond, rotate its preceding
+// peptide plane (the C/O of residue i-1) about the CA(i-1)->CA(i) axis
+// through +-1.0 rad in 0.1-rad steps and keep the rotation minimizing the
+// DSSP electrostatic H-bond energy
+//     E = -27.888 (1/d_NO + 1/d_HC - 1/d_HO - 1/d_NC)   [kcal/mol]
+// with H placed 1.08 A from N anti-parallel to the preceding C=O.
+// Independent implementation: cell-list acceptor search, prolines skipped
+// (no amide H), deterministic scan order.
+
+Atom *find_atom(Residue &r, const char *nm) {
+  for (auto &a : r.atoms)
+    if (a.name == nm) return &a;
+  return nullptr;
+}
+
+double dssp_hb_energy(const Vec3 &n_pos, const Vec3 &h_pos, const Vec3 &o_pos,
+                      const Vec3 &c_pos) {
+  double dno = dist(n_pos, o_pos), dhc = dist(h_pos, c_pos);
+  double dho = dist(h_pos, o_pos), dnc = dist(n_pos, c_pos);
+  if (dno < 1e-3 || dhc < 1e-3 || dho < 1e-3 || dnc < 1e-3) return 1e3;
+  return -27.888 * (1.0 / dno + 1.0 / dhc - 1.0 / dho - 1.0 / dnc);
+}
+
+struct HBStats {
+  double before = 0, after = 0;
+  int improved = 0;
+};
+
+HBStats hb_optimize(std::vector<CAChainFragment> &frags) {
+  // flatten: donors are interior residues (have a previous residue in the
+  // same fragment); acceptors are every residue's C=O
+  struct RRef {
+    Residue *res;
+    int uid;
+  };
+  std::vector<RRef> all;
+  int uid = 0;
+  for (auto &f : frags)
+    for (auto &r : f.residues) all.push_back({&r, uid++});
+
+  auto acceptor_grid = [&]() {
+    HashGrid g(5.0);
+    for (size_t i = 0; i < all.size(); ++i) {
+      Atom *o = find_atom(*all[i].res, "O");
+      if (o) g.insert(o->pos, (int)i);
+    }
+    return g;
+  };
+
+  // donor energy: best (lowest) DSSP energy over acceptor candidates
+  // >2 residues away, within 5 A N...O
+  auto donor_energy = [&](const HashGrid &grid, Residue &prev, Residue &cur,
+                          int cur_uid) {
+    Atom *c1 = find_atom(prev, "C"), *o1 = find_atom(prev, "O");
+    Atom *n1 = find_atom(cur, "N");
+    if (!c1 || !o1 || !n1) return 1e3;
+    Vec3 h = n1->pos + unit(c1->pos - o1->pos) * 1.08;
+    double best = 1e3;
+    grid.neighbors(n1->pos, [&](int j) {
+      if (std::abs(all[j].uid - cur_uid) <= 2) return;
+      Atom *o2 = find_atom(*all[j].res, "O");
+      Atom *c2 = find_atom(*all[j].res, "C");
+      if (!o2 || !c2) return;
+      if (dist(n1->pos, o2->pos) > 5.0) return;
+      double e = dssp_hb_energy(n1->pos, h, o2->pos, c2->pos);
+      best = std::min(best, e);
+    });
+    return best;
+  };
+
+  auto rot_peptide = [&](Residue &prev, Residue &cur, double angle) {
+    // rotate prev's C and O about the CA(prev)->CA(cur) axis
+    Vec3 axis = unit(cur.ca - prev.ca);
+    double cs = std::cos(angle), sn = std::sin(angle);
+    for (const char *nm : {"C", "O"}) {
+      Atom *a = find_atom(prev, nm);
+      if (!a) continue;
+      Vec3 v = a->pos - prev.ca;
+      // Rodrigues rotation
+      Vec3 vr = v * cs + cross(axis, v) * sn + axis * (dot(axis, v) * (1 - cs));
+      a->pos = prev.ca + vr;
+    }
+  };
+
+  HBStats st;
+  HashGrid grid = acceptor_grid();
+  std::vector<std::pair<Residue *, Residue *>> donors;  // (prev, cur)
+  std::vector<int> donor_uid;
+  {
+    int u = 0;
+    for (auto &f : frags) {
+      for (size_t i = 0; i < f.residues.size(); ++i, ++u)
+        if (i > 0 && f.residues[i].res_name != "PRO") {
+          donors.emplace_back(&f.residues[i - 1], &f.residues[i]);
+          donor_uid.push_back(u);
+        }
+    }
+  }
+  for (size_t d = 0; d < donors.size(); ++d) {
+    double e = donor_energy(grid, *donors[d].first, *donors[d].second,
+                            donor_uid[d]);
+    if (e < -0.5) st.before += e;
+  }
+  for (size_t d = 0; d < donors.size(); ++d) {
+    Residue &prev = *donors[d].first, &cur = *donors[d].second;
+    double e0 = donor_energy(grid, prev, cur, donor_uid[d]);
+    if (e0 >= 1.0) continue;  // no acceptor candidate in range
+    double best_e = e0, best_a = 0.0;
+    for (int k = -10; k < 10; ++k) {
+      double a = 0.1 * k;
+      if (k == 0) continue;
+      rot_peptide(prev, cur, a);
+      double e = donor_energy(grid, prev, cur, donor_uid[d]);
+      rot_peptide(prev, cur, -a);
+      if (e < best_e) {
+        best_e = e;
+        best_a = a;
+      }
+    }
+    if (best_a != 0.0 && best_e < e0 - 1e-6) {
+      rot_peptide(prev, cur, best_a);
+      ++st.improved;
+      grid = acceptor_grid();  // O moved; refresh acceptor positions
+    }
+  }
+  for (size_t d = 0; d < donors.size(); ++d) {
+    double e = donor_energy(grid, *donors[d].first, *donors[d].second,
+                            donor_uid[d]);
+    if (e < -0.5) st.after += e;
+  }
+  return st;
+}
+
+// ---------------------------------------------------------------------------
 
 void write_pdb(const std::vector<CAChainFragment> &frags,
                const std::string &path) {
@@ -687,14 +988,43 @@ void write_pdb(const std::vector<CAChainFragment> &frags,
 }  // namespace
 
 int main(int argc, char **argv) {
-  if (argc < 3) {
-    std::cerr << "usage: mica_allatom <ca_model.pdb> <out.pdb>\n";
+  bool do_ca_opt = false, do_hb_opt = false;
+  double max_shift = 3.0;
+  std::vector<std::string> pos;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    if (a == "--ca-optimize") {
+      do_ca_opt = true;
+    } else if (a == "--hbond-optimize") {
+      do_hb_opt = true;
+    } else if (a == "--max-shift" && i + 1 < argc) {
+      max_shift = std::stod(argv[++i]);
+    } else if (a.rfind("--", 0) == 0) {
+      std::cerr << "unknown option " << a << "\n";
+      return 2;
+    } else {
+      pos.push_back(a);
+    }
+  }
+  if (pos.size() < 2) {
+    std::cerr << "usage: mica_allatom [options] <ca_model.pdb> <out.pdb>\n"
+              << "  --ca-optimize     optimize CA positions before rebuild\n"
+              << "                    (the reference tool's default mode;\n"
+              << "                    MICA's pipeline passes -c to skip it)\n"
+              << "  --max-shift F     CA restraint free radius, A (default 3.0)\n"
+              << "  --hbond-optimize  refine peptide planes to improve the\n"
+              << "                    backbone H-bond pattern (reference -q)\n";
     return 2;
   }
-  auto frags = read_ca_pdb(argv[1]);
+  auto frags = read_ca_pdb(pos[0]);
   if (frags.empty()) {
-    std::cerr << "no CA atoms found in " << argv[1] << "\n";
+    std::cerr << "no CA atoms found in " << pos[0] << "\n";
     return 1;
+  }
+  if (do_ca_opt) {
+    CAOptStats st = ca_optimize(frags, max_shift);
+    std::cerr << "ca_optimize: energy " << st.e0 << " -> " << st.e1 << " in "
+              << st.iters << " iterations\n";
   }
   size_t total = 0;
   for (auto &f : frags) {
@@ -703,9 +1033,14 @@ int main(int argc, char **argv) {
     build_sidechains(f);
     total += f.residues.size();
   }
+  if (do_hb_opt) {
+    HBStats st = hb_optimize(frags);
+    std::cerr << "hb_optimize: bonded energy " << st.before << " -> "
+              << st.after << " (" << st.improved << " peptides rotated)\n";
+  }
   int d_fixed = chirality_fix(frags);
   relax_clashes(frags);
-  write_pdb(frags, argv[2]);
+  write_pdb(frags, pos[1]);
   std::cerr << "rebuilt " << total << " residues in " << frags.size()
             << " fragments (" << d_fixed << " chirality fixes)\n";
   return 0;

@@ -29,6 +29,51 @@ import numpy as np
 A100_BASELINE_VOXELS_PER_SEC = 5.5e5
 
 
+def _train_bench(batch: int = 8, iters: int = 3):
+    """One jitted training step config: step time / samples/s / FLOP rate."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mica_tpu.train.data import synthetic_batch
+    from mica_tpu.train.loss import task_lambdas
+    from mica_tpu.train.trainer import Trainer
+
+    trainer = Trainer(base_filters=64, dtype=jnp.bfloat16, use_mesh=False,
+                      use_augmentation=True, remat=True)
+    state = trainer.init_state((1, 64, 64, 64, 1))
+    batch_np = synthetic_batch(batch_size=batch, size=64)
+    batch_dev = tuple(jnp.asarray(b) for b in batch_np)
+    lambdas = jnp.asarray(task_lambdas(0), jnp.float32)
+    step = trainer.train_step_for_epoch(0)
+    key = jax.random.PRNGKey(0)
+
+    t0 = _time.time()
+    state, metrics = step(state, batch_dev, lambdas, key)
+    jax.block_until_ready(metrics["total_loss"])
+    _ = float(np.asarray(metrics["total_loss"]))
+    compile_s = _time.time() - t0
+
+    t0 = _time.time()
+    for _ in range(iters):
+        state, metrics = step(state, batch_dev, lambdas, key)
+    jax.block_until_ready(metrics["total_loss"])
+    loss = float(np.asarray(metrics["total_loss"]))
+    dt = (_time.time() - t0) / iters
+
+    fwd_tflop_per_sample = 7.35  # PERFORMANCE.md FLOP count, 64-cube window
+    return {
+        "batch": batch,
+        "remat": True,
+        "step_s": round(dt, 3),
+        "samples_per_s_chip": round(batch / dt, 2),
+        "model_tflops_per_s": round(3 * fwd_tflop_per_sample * batch / dt, 1),
+        "warmup_compile_s": round(compile_s, 1),
+        "loss_finite": bool(np.isfinite(loss)),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -120,6 +165,18 @@ def main():
                 raise
             batch_size //= 2
 
+    # Training throughput (driver-visible training bench, VERDICT r1 #5):
+    # full-size network, bf16, on-device augmentation, adaptive clipping,
+    # remat on encoders+heads.  Batch 8 is the measured-best config
+    # (3.01 samples/s vs 1.00 at the reference-parity batch 2 —
+    # scripts/bench_train.py).  The reference trains at ~0.5-1 samples/s
+    # per A100-class GPU (batch 4 DataParallel over 2-4 GPUs, train.py).
+    train_detail = {}
+    try:
+        train_detail = _train_bench()
+    except Exception as e:  # noqa: BLE001 - never sink the headline metric
+        train_detail = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     n_voxels = int(np.prod(map_shape))
     vps = n_voxels / pred.timing["inference"]
     vps_dense = n_voxels / dense_inference
@@ -152,6 +209,7 @@ def main():
             "finite": bool(
                 np.isfinite(np.asarray(out["backbone_probability"][:8, :8, :8])).all()
             ),
+            "train": train_detail,
         },
     }
     print(json.dumps(result))

@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     p.add_argument("--docked_model", default="")
     p.add_argument("--model_checkpoint", default="")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--window_core", type=int, default=48,
+                   help="sliding-window core (reference: 48); 0 = auto")
     p.add_argument("--float32", action="store_true",
                    help="run the network in float32 instead of bfloat16")
     args = p.parse_args(argv)
@@ -48,6 +50,7 @@ def main(argv=None) -> int:
         args.map_path, params,
         docked_pdb_path=args.docked_model or None,
         batch_size=args.batch_size,
+        core=args.window_core,
         dtype=jnp.float32 if args.float32 else jnp.bfloat16,
     )
     prepared = out["prepared_map"]

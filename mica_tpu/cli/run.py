@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--batch_size", type=int, default=0,
                    help="0 = derive from device memory (auto_batch_size)")
+    p.add_argument("--window_core", type=int, default=48,
+                   help="sliding-window core size (reference: 48, window "
+                        "64). 0 = auto-pick the geometry minimizing "
+                        "computed voxels for this map; per-window "
+                        "InstanceNorm stats then differ slightly from the "
+                        "reference's fixed decomposition")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="run without a trained checkpoint (random weights; "
                         "smoke tests only — the output model is meaningless)")
@@ -104,6 +110,7 @@ def main(argv=None) -> int:
         struct_len=args.struct_len,
         seed=args.seed,
         batch_size=args.batch_size,
+        window_core=args.window_core,
         allow_random_weights=args.allow_random_weights,
         run_pulchra=args.run_pulchra,
         pulchra_path=args.pulchra_path,

@@ -44,7 +44,7 @@ all-gather that replaces the reference's serial paste-back loop.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +98,48 @@ def auto_batch_size(max_batch: int = 8, device=None) -> int:
     return max_batch
 
 
+# Measured per-geometry model-step FLOP-rate penalties on v5e (bf16,
+# scripts/ab_step.py, 2026-08-17): computed-voxel throughput vs the 64-cube
+# batch-8 baseline (4.17M computed voxels/s).  Bigger single windows lose
+# MXU/fusion efficiency through XLA — window 80 runs at 47%, window 128 at
+# 69% — which, combined with lattice padding, makes the reference's 64/48
+# geometry optimal at every realistic map size ON THIS PLATFORM.  The
+# engine stays geometry-generic; the table keeps "auto" honest.
+_GEOMETRY_RATE_PENALTY = {48: 1.0, 64: 2.13, 112: 1.45}
+
+
+def best_core(shape, halo: int = HALO,
+              candidates=(48, 64, 112),
+              max_batch: int = 8) -> Tuple[int, int]:
+    """Window geometry minimizing *time* for a given map shape.
+
+    Cost model: computed voxels — ``prod(ceil(s/core)) * window^3``, i.e.
+    halo overlap x lattice padding (up to 3.4x the map's own voxels at the
+    fixed 64/48 reference geometry) — times the measured per-geometry rate
+    penalty (``_GEOMETRY_RATE_PENALTY``).  Candidates without a measured
+    rate are skipped.
+
+    Returns ``(core, batch)`` with the batch scaled so the activation
+    footprint matches ``max_batch`` 64-cubes.  NOTE: InstanceNorm
+    statistics are per-window, so predictions from a non-default geometry
+    differ slightly from the reference's fixed 64/48 decomposition —
+    callers wanting bitwise reference parity must keep (48, 8).
+    """
+    best = None
+    for core in candidates:
+        if core not in _GEOMETRY_RATE_PENALTY:
+            continue
+        win = core + 2 * halo
+        n = 1
+        for s in shape:
+            n *= -(-s // core)
+        cost = n * win ** 3 * _GEOMETRY_RATE_PENALTY[core]
+        if best is None or cost < best[0]:
+            batch = max(1, int(max_batch * 64 ** 3 / win ** 3))
+            best = (cost, core, batch)
+    return best[1], best[2]
+
+
 def _window_nonempty(padded: np.ndarray, counts, core: int, halo: int) -> np.ndarray:
     """Vectorized per-window occupancy flags over a halo-padded volume.
 
@@ -137,10 +179,18 @@ def postprocess_logits(bb: jnp.ndarray, ca: jnp.ndarray, aa: jnp.ndarray):
     bb/ca: softmax over classes {0, 2, 3} (class 1 = "neighbor shell"
     dropped), keeping P(atom class 3).  aa: softmax over classes 1..20.
     """
-    bb3 = jnp.concatenate([bb[..., :1], bb[..., 2:]], axis=-1)
-    ca3 = jnp.concatenate([ca[..., :1], ca[..., 2:]], axis=-1)
-    bb_prob = jax.nn.softmax(bb3, axis=-1)[..., 2:3]
-    ca_prob = jax.nn.softmax(ca3, axis=-1)[..., 2:3]
+    # channel-sliced 3-class softmax: P(atom) = e3 / (e0 + e2 + e3).
+    # Same math as softmax(concat([x0], [x2, x3]))[..., 2], but without
+    # materializing the 4->3 concat — the concat forced ~8 ms/step of
+    # layout copies on the f32 logit tensors (trace 2026-08-17)
+    def p_atom(x):
+        x0, x2, x3 = x[..., 0], x[..., 2], x[..., 3]
+        m = jnp.maximum(jnp.maximum(x0, x2), x3)
+        e0, e2, e3 = jnp.exp(x0 - m), jnp.exp(x2 - m), jnp.exp(x3 - m)
+        return e3 / (e0 + e2 + e3)
+
+    bb_prob = p_atom(bb)[..., None]
+    ca_prob = p_atom(ca)[..., None]
     aa_prob = jax.nn.softmax(aa[..., 1:], axis=-1)
     return bb_prob, ca_prob, aa_prob
 
@@ -244,14 +294,22 @@ class SlidingWindowPredictor:
                 af = unpack_af_bits(af_packed, windows.dtype)
             else:  # float encodings (e.g. trilinear splat) pass through
                 af = af_packed.astype(windows.dtype)
-            bb, ca, aa = model.apply({"params": params}, windows, af)
-            bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
+            # slice logits to the core BEFORE the softmax postprocess:
+            # softmax is pointwise over the channel axis, so this is exact,
+            # and it cuts the f32 postprocess work 64^3 -> 48^3 (0.42x).
+            # The aa head slices INSIDE the model (before its 1x1 final
+            # conv — also exact) so the 21-channel f32 logit tensor never
+            # exists at 64^3; bb/ca must come out full-window (they feed
+            # the cascade correction convs) and are sliced here.
             sl = slice(None) if full else slice(halo, halo + core_n)
-            return (
-                bb_p[:, sl, sl, sl, 0],
-                ca_p[:, sl, sl, sl, 0],
-                aa_p[:, sl, sl, sl, :],
+            bb, ca, aa = model.apply(
+                {"params": params}, windows, af,
+                out_slice=None if full else sl,
             )
+            bb = bb[:, sl, sl, sl, :]
+            ca = ca[:, sl, sl, sl, :]
+            bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
+            return (bb_p[..., 0], ca_p[..., 0], aa_p)
 
         def step(params, windows, af_packed, n_chunks):
             acc = (
@@ -685,6 +743,13 @@ class SlidingWindowPredictor:
                 c = slice(halo, halo + core_n)
                 z_bb, z_ca, z_aa = z_bb[c, c, c], z_ca[c, c, c], z_aa[c, c, c, :]
             vols = self._build_tile_init(padded_shape)(z_bb, z_ca, z_aa)
+        if self.shard_volumes:
+            # per-device accumulator footprint (scale tests assert this
+            # stays ~1/n_dev of the replicated total)
+            self.timing["acc_bytes_per_device"] = sum(
+                max(s.data.nbytes for s in v.addressable_shards)
+                for v in vols
+            )
         self.timing["setup"] = time.time() - t0
 
         dump_dir = None

@@ -129,15 +129,22 @@ def predict_map(
     """End-to-end: map file (+ optional docked AF3 model) -> prediction volumes.
 
     ``batch_size=0`` derives the batch from device memory (the reference's
-    memory heuristic, predict.py:149-174).  ``dump_windows_dir`` writes one
+    memory heuristic, predict.py:149-174).  ``core=0`` picks the window
+    geometry minimizing computed voxels for this map (``best_core``; the
+    per-window InstanceNorm stats then differ slightly from the reference's
+    fixed 64/48 decomposition).  ``dump_windows_dir`` writes one
     ``.npz`` per window with the post-processed core blocks — a debugging /
     parity-triage aid mirroring the reference's per-grid artifacts
     (predict.py:353-371)."""
     import jax.numpy as jnp
 
-    from .engine import auto_batch_size
+    from .engine import auto_batch_size, best_core
 
     prepared = prepare_map(map_path)
+    batch_size = batch_size or auto_batch_size()
+    if core == 0:
+        core, batch_size = best_core(prepared.volume.shape, halo,
+                                     max_batch=batch_size)
     encoding = None
     if docked_pdb_path is not None:
         # an explicitly requested docked model must exist: silently
@@ -150,7 +157,7 @@ def predict_map(
 
     predictor = SlidingWindowPredictor(
         params,
-        batch_size=batch_size or auto_batch_size(),
+        batch_size=batch_size,
         dtype=dtype if dtype is not None else jnp.bfloat16,
         mesh=mesh,
         base_filters=base_filters,

@@ -56,7 +56,14 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     )
     var = jnp.maximum(sq_mean - jax.lax.square(mean), 0.0)
     scale = jax.lax.rsqrt(var + eps)
-    return ((x.astype(jnp.float32) - mean) * scale).astype(dt)
+    if dt == jnp.float32:
+        return (x - mean) * scale
+    # low-precision compute: apply the normalization in the compute dtype
+    # (stats stay f32).  The f32-applied variant promotes the whole tensor
+    # to f32 — at large windows XLA materializes the broadcasts as
+    # full-spatial f32 temporaries (2 x 8.5 GB at a 128-cube window,
+    # OOM); in bf16 the apply fuses and costs half the bandwidth.
+    return (x - mean.astype(dt)) * scale.astype(dt)
 
 
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
@@ -450,7 +457,8 @@ class TaskHeadRest(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, h1, p, dropout_rate: float, train: bool):
+    def __call__(self, h1, p, dropout_rate: float, train: bool,
+                 out_slice=None):
         dt = self.dtype
         x = nn.relu(instance_norm(h1))
         x = conv_same(x, p["conv2"][0], p["conv2"][1], dtype=dt,
@@ -466,6 +474,12 @@ class TaskHeadRest(nn.Module):
         cal = conv_same(cal, p["cal1"][0], p["cal1"][1], dtype=dt)
         cal = nn.sigmoid(cal)
         x = x * cal
+
+        # inference-only spatial slice (e.g. the sliding-window core):
+        # the final conv is 1x1, so slicing before it is exact, and the
+        # big num_classes=21 f32 logit tensor shrinks 64^3 -> 48^3
+        if out_slice is not None:
+            x = x[:, out_slice, out_slice, out_slice, :]
 
         # logits in float32 for a numerically stable softmax downstream
         return conv_same(
@@ -492,7 +506,7 @@ class FusedHeads(nn.Module):
 
     @nn.compact
     def __call__(self, fpn, p_bb, p_ca, p_aa, dropout_rate: float,
-                 train: bool):
+                 train: bool, out_slice=None):
         fpn_ch = fpn.shape[-1]
         rest_bb = TaskHeadRest(4, dtype=self.dtype, name="backbone_rest")
         rest_ca = TaskHeadRest(4, dtype=self.dtype, name="ca_rest")
@@ -527,7 +541,10 @@ class FusedHeads(nn.Module):
             )
             + p_aa["conv1"][1].astype(big.dtype)
         )
-        aa = rest_aa(h_aa, p_aa, dropout_rate, train)
+        # only the LAST head in the cascade may slice to the window core:
+        # bb/ca logits feed the later heads' 3^3 correction convs, which
+        # need the full window
+        aa = rest_aa(h_aa, p_aa, dropout_rate, train, out_slice)
         return backbone, ca, aa
 
 
@@ -545,7 +562,7 @@ class MICA(nn.Module):
 
     @nn.compact
     def __call__(self, exp_map, af_features=None, *, dropout_rate: float = 0.0,
-                 train: bool = False):
+                 train: bool = False, out_slice=None):
         dt = self.dtype or jnp.float32
         exp_map = exp_map.astype(dt)
         if af_features is not None:
@@ -578,11 +595,11 @@ class MICA(nn.Module):
         p_aa = TaskHeadParams(fpn_ch + 8, 21, name="aa_head")()
 
         heads_cls = (
-            nn.remat(FusedHeads, static_argnums=(5, 6)) if self.remat
+            nn.remat(FusedHeads, static_argnums=(5, 6, 7)) if self.remat
             else FusedHeads
         )
         return heads_cls(dtype=self.dtype, name="heads")(
-            fpn, p_bb, p_ca, p_aa, head_rate, train
+            fpn, p_bb, p_ca, p_aa, head_rate, train, out_slice
         )
 
 

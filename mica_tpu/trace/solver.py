@@ -74,8 +74,9 @@ class ModelingConfig:
 
     batch_size: int = 0  # 0 = derive from device memory (auto_batch_size)
     base_filters: int = 64
-    window_core: int = 48
-    window_halo: int = 8
+    window_core: int = 48   # 0 = auto (best_core for the map shape; NOTE:
+    window_halo: int = 8    # non-default geometry shifts InstanceNorm
+                            # window stats vs the reference's fixed 64/48)
 
     @property
     def af3_structures_path(self) -> str:
@@ -216,13 +217,20 @@ class Solver:
                 MICA(base=self.config.base_filters),
                 (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))),
             )
-        from ..infer.engine import auto_batch_size
+        from ..infer.engine import auto_batch_size, best_core
 
+        core, halo = self.config.window_core, self.config.window_halo
+        batch = self.config.batch_size or auto_batch_size()
+        if core == 0:
+            core, batch = best_core(self.prepared.volume.shape, halo,
+                                    max_batch=batch)
+            logger.info("auto window geometry: core=%d (window=%d) batch=%d",
+                        core, core + 2 * halo, batch)
         predictor = SlidingWindowPredictor(
             self.params,
-            batch_size=self.config.batch_size or auto_batch_size(),
+            batch_size=batch,
             base_filters=self.config.base_filters,
-            core=self.config.window_core, halo=self.config.window_halo,
+            core=core, halo=halo,
         )
         out = predictor.predict_volume(
             self.prepared.volume, encoding, keep_on_device=True

@@ -44,11 +44,15 @@ def pack_kernel(k, phases):
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    only = int(sys.argv[1]) if len(sys.argv) > 1 else None  # filter by Cout
 
     rng = np.random.default_rng(0)
     B, D = 8, 64
@@ -61,11 +65,14 @@ def main():
         (192, 64, 2),   # enc1 RDB conv2
         (64, 64, 2),    # FPN smooths
         (64, 32, 4),    # head conv2
+        (192, 192, 2),  # fused heads conv1 (192-out: 1.5 lane tiles)
     ]
 
     dn = ("NDHWC", "DHWIO", "NDHWC")
 
     for ci, co, P in shapes:
+        if only is not None and co != only:
+            continue
         x = jnp.asarray(rng.standard_normal((B, D, D, D, ci)), jnp.bfloat16)
         k = rng.standard_normal((3, 3, 3, ci, co)).astype(np.float32)
         kj = jnp.asarray(k, jnp.bfloat16)

@@ -22,9 +22,14 @@ conv3d kernels: ~5 samples/s * 48^3 core voxels = 5.5e5 voxels/s.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _stage(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 A100_BASELINE_VOXELS_PER_SEC = 5.5e5
 
@@ -54,6 +59,7 @@ def _train_bench(batch: int = 8, iters: int = 3):
     jax.block_until_ready(metrics["total_loss"])
     _ = float(np.asarray(metrics["total_loss"]))
     compile_s = _time.time() - t0
+    _stage(f'train compile done ({compile_s:.0f}s)')
 
     t0 = _time.time()
     for _ in range(iters):
@@ -129,6 +135,7 @@ def main():
             # (gather/model/scatter at 256-cube) compiles outside the timed
             # region; the warmup call's wall time is reported separately.
             t_w = time.time()
+            _stage('realistic warmup')
             pred.predict_volume(volume, af, keep_on_device=True)
             warmup_s = time.time() - t_w
 
@@ -150,6 +157,7 @@ def main():
             )
             pred_dense.predict_volume(volume_dense, af_dense,
                                       keep_on_device=True)
+            _stage('dense timed runs')
             dense_elapsed = float("inf")
             dense_inference = float("inf")
             for _ in range(2):
@@ -165,12 +173,29 @@ def main():
                 raise
             batch_size //= 2
 
+    finite = bool(
+        np.isfinite(np.asarray(out["backbone_probability"][:8, :8, :8])).all()
+    )
+    # free the predictors' on-device volumes BEFORE the training bench —
+    # the training state + step temporaries need the HBM
+    # keep only the numbers; the predictors' cached zero-cores and live jit
+    # executables pin HBM the training step needs (batch 8 uses nearly the
+    # whole 15.75 GB) — recompiles come from the persistent disk cache
+    inference_timing = dict(pred.timing)
+    dense_n_windows = int(pred_dense.timing["n_windows"])
+    del out, pred, pred_dense
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+
     # Training throughput (driver-visible training bench, VERDICT r1 #5):
     # full-size network, bf16, on-device augmentation, adaptive clipping,
     # remat on encoders+heads.  Batch 8 is the measured-best config
     # (3.01 samples/s vs 1.00 at the reference-parity batch 2 —
     # scripts/bench_train.py).  The reference trains at ~0.5-1 samples/s
     # per A100-class GPU (batch 4 DataParallel over 2-4 GPUs, train.py).
+    _stage('training bench')
     train_detail = {}
     try:
         train_detail = _train_bench()
@@ -178,7 +203,7 @@ def main():
         train_detail = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     n_voxels = int(np.prod(map_shape))
-    vps = n_voxels / pred.timing["inference"]
+    vps = n_voxels / inference_timing["inference"]
     vps_dense = n_voxels / dense_inference
     result = {
         "metric": "sliding_window_inference_throughput",
@@ -188,14 +213,14 @@ def main():
         "detail": {
             "map": "realistic (protein blob cluster, mostly background)",
             "map_shape": list(map_shape),
-            "n_windows": int(pred.timing["n_windows"]),
-            "n_empty_windows": int(pred.timing.get("n_empty", 0)),
+            "n_windows": int(inference_timing["n_windows"]),
+            "n_empty_windows": int(inference_timing.get("n_empty", 0)),
             "batch_size": batch_size,
-            "inference_s": round(pred.timing["inference"], 3),
+            "inference_s": round(inference_timing["inference"], 3),
             "end_to_end_s": round(elapsed, 3),
             "warmup_compile_s": round(warmup_s, 3),
             "windows_per_s": round(
-                pred.timing["n_windows"] / pred.timing["inference"], 2
+                inference_timing["n_windows"] / inference_timing["inference"], 2
             ),
             "dense_map_voxels_per_s": round(vps_dense, 1),
             "dense_vs_baseline": round(
@@ -203,12 +228,10 @@ def main():
             ),
             "dense_inference_s": round(dense_inference, 3),
             "dense_windows_per_s": round(
-                pred_dense.timing["n_windows"] / dense_inference, 2
+                dense_n_windows / dense_inference, 2
             ),
             "device": str(jax.devices()[0]),
-            "finite": bool(
-                np.isfinite(np.asarray(out["backbone_probability"][:8, :8, :8])).all()
-            ),
+            "finite": finite,
             "train": train_detail,
         },
     }

@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     p.add_argument("--docked_model", default="")
     p.add_argument("--model_checkpoint", default="")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--base_filters", type=int, default=64,
+                   help="network width (reference MICA: 64)")
     p.add_argument("--window_core", type=int, default=48,
                    help="sliding-window core (reference: 48); 0 = auto")
     p.add_argument("--float32", action="store_true",
@@ -40,7 +42,7 @@ def main(argv=None) -> int:
         from ..models.mica import MICA
 
         logging.warning("no checkpoint given; using random weights")
-        model = MICA(base=64)
+        model = MICA(base=args.base_filters)
         params = init_params_fast(
             model,
             (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))),
@@ -50,6 +52,7 @@ def main(argv=None) -> int:
         args.map_path, params,
         docked_pdb_path=args.docked_model or None,
         batch_size=args.batch_size,
+        base_filters=args.base_filters,
         core=args.window_core,
         dtype=jnp.float32 if args.float32 else jnp.bfloat16,
     )

@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--batch_size", type=int, default=0,
                    help="0 = derive from device memory (auto_batch_size)")
+    p.add_argument("--base_filters", type=int, default=64,
+                   help="network width (reference MICA: 64)")
     p.add_argument("--window_core", type=int, default=48,
                    help="sliding-window core size (reference: 48, window "
                         "64). 0 = auto-pick the geometry minimizing "
@@ -110,6 +112,7 @@ def main(argv=None) -> int:
         struct_len=args.struct_len,
         seed=args.seed,
         batch_size=args.batch_size,
+        base_filters=args.base_filters,
         window_core=args.window_core,
         allow_random_weights=args.allow_random_weights,
         run_pulchra=args.run_pulchra,

@@ -1,0 +1,108 @@
+"""End-to-end CLI test from a checkpoint in the reference's EXACT on-disk
+format (VERDICT r1 #6): ``torch.save({'epoch', 'model_state_dict' with
+``module.`` DataParallel prefixes, 'optimizer_state_dict', 'val_loss',
+'criterion_state_dict'})`` — reference train.py:294-314 — loaded through
+``cli/predict.py`` / ``load_network_params`` (predict.py:237-240 strips the
+prefix at load) and driven to mask volumes on disk.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from mica_tpu.io import mrc as mrc_io  # noqa: E402
+from mica_tpu.models import convert  # noqa: E402
+from mica_tpu.models.mica import MICA  # noqa: E402
+
+BASE = 16
+
+
+def _reference_format_checkpoint(tmp: Path) -> Path:
+    """A .pth byte-exact in structure to what the reference trainer saves,
+    including the DataParallel ``module.`` key prefixes and the optimizer/
+    criterion state a real training checkpoint carries."""
+    from mica_tpu.models.init import init_params_fast
+
+    model = MICA(base=BASE)
+    params = init_params_fast(
+        model, (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24)))
+    )
+    sd = convert.params_to_torch_state_dict(params)
+    sd = {f"module.{k}": torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
+    ckpt = tmp / "MICA_epoch_7_best.pth"
+    torch.save(
+        {
+            "epoch": 7,
+            "model_state_dict": sd,
+            "optimizer_state_dict": {"state": {}, "param_groups": [
+                {"lr": 1e-4, "betas": (0.9, 0.999)}]},
+            "val_loss": 0.123,
+            "criterion_state_dict": {"lambda_bb": torch.tensor(0.6)},
+        },
+        ckpt,
+    )
+    return ckpt
+
+
+def _small_map(tmp: Path) -> Path:
+    rng = np.random.default_rng(5)
+    vol = rng.random((24, 20, 18), dtype=np.float32)
+    path = tmp / "map.mrc"
+    mrc_io.write_mrc(path, np.transpose(vol, (2, 1, 0)),
+                     voxel_size=(1.0, 1.0, 1.0))
+    return path
+
+
+def test_cli_predict_from_reference_checkpoint(tmp_path):
+    from mica_tpu.cli import predict as cli_predict
+
+    ckpt = _reference_format_checkpoint(tmp_path)
+    map_path = _small_map(tmp_path)
+    outdir = tmp_path / "out"
+
+    rc = cli_predict.main([
+        "-m", str(map_path), "-o", str(outdir),
+        "--model_checkpoint", str(ckpt),
+        "--base_filters", str(BASE),
+        "--window_core", "16",
+        "--batch_size", "4",
+        "--float32",
+    ])
+    assert rc in (0, None)
+
+    for key in ("backbone_probability", "carbon_alpha_probability",
+                "amino_acid_prediction"):
+        f = outdir / f"{key}.mrc"
+        assert f.exists(), key
+        assert np.isfinite(mrc_io.read_mrc(f).data).all(), key
+    bb = mrc_io.read_mrc(outdir / "backbone_probability.mrc").data
+    assert bb.shape == (18, 20, 24)  # sections/rows/cols = z, y, x
+    assert 0.0 <= float(np.min(bb)) and float(np.max(bb)) <= 1.0
+    aa = np.load(outdir / "amino_acid_probability.npz")["data"]
+    assert aa.shape[0] == 20
+
+
+def test_load_network_params_strips_module_prefix(tmp_path):
+    """run.py's loader accepts the same reference-format file (the solver
+    entry path shares it)."""
+    from mica_tpu.cli.run import load_network_params
+
+    ckpt = _reference_format_checkpoint(tmp_path)
+    params = load_network_params(str(ckpt))
+    assert "input_processing" in params
+    # round-trip: converted params match the originals bit-for-bit
+    sd2 = convert.params_to_torch_state_dict(params)
+    model = MICA(base=BASE)
+    from mica_tpu.models.init import init_params_fast
+
+    ref = convert.params_to_torch_state_dict(init_params_fast(
+        model, (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24)))
+    ))
+    assert set(sd2) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(sd2[k]), np.asarray(ref[k]))

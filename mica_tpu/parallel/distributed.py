@@ -44,6 +44,7 @@ def initialize(
     shutdown_timeout_seconds: int = 900,
     heartbeat_timeout_seconds: int = 600,
     initialization_timeout: int = 600,
+    backend: Optional[str] = None,
 ) -> None:
     """Connect this process to the distributed runtime (idempotent).
 
@@ -76,11 +77,19 @@ def initialize(
         kwargs["local_device_ids"] = list(local_device_ids)
     jax.distributed.initialize(**kwargs)
     _initialized = True
-    logger.info(
-        "distributed runtime up: process %d/%d, %d local / %d global devices",
-        jax.process_index(), jax.process_count(),
-        jax.local_device_count(), jax.device_count(),
-    )
+    # ``backend`` pins the platform for the post-init report.  With no pin the
+    # device queries resolve the DEFAULT backend, which on mixed-plugin hosts
+    # can be a different plugin than the one this process will compute on —
+    # e.g. CPU gloo workers racing to open one tunneled TPU chip just to log,
+    # and dying on its UNAVAILABLE instead of running (seen in CI).
+    try:
+        logger.info(
+            "distributed runtime up: process %d/%d, %d local / %d global devices",
+            jax.process_index(backend), jax.process_count(backend),
+            jax.local_device_count(backend), jax.device_count(backend),
+        )
+    except RuntimeError as e:  # backend init failure must not kill the entry
+        logger.warning("distributed runtime up (device report failed: %s)", e)
 
 
 def barrier(name: str, timeout_seconds: int = 900) -> None:
@@ -114,8 +123,8 @@ def global_mesh(axis_name: str = DATA_AXIS,
     return Mesh(np.asarray(jax.devices(backend)), (axis_name,))
 
 
-def is_multiprocess() -> bool:
-    return jax.process_count() > 1
+def is_multiprocess(backend: Optional[str] = None) -> bool:
+    return jax.process_count(backend) > 1
 
 
 def make_global_batch(local_rows: "np.ndarray", mesh: Mesh,

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from mica_tpu.parallel import distributed
 
 addr, pid = sys.argv[1], int(sys.argv[2])
-distributed.initialize(coordinator_address=addr, num_processes=2, process_id=pid)
+distributed.initialize(coordinator_address=addr, num_processes=2, process_id=pid,
+                       backend="cpu")
 
 # the cpu backend is pinned explicitly: on this host the axon TPU plugin
 # wins the default-backend election even under JAX_PLATFORMS=cpu
@@ -51,7 +52,11 @@ garr = distributed.make_global_batch(full[sl], mesh, 8)
 def total(x):
     return jnp.sum(x)
 
-got = float(total(garr))
+# compile first, meet at a coordination barrier, then execute: the gloo
+# rendezvous window must not absorb cross-process compile/startup skew
+compiled = total.lower(garr).compile()
+distributed.barrier("smoke_compiled", timeout_seconds=600)
+got = float(compiled(garr))
 expect = float(full.sum())
 assert got == expect, (got, expect)
 print(f"proc {pid}: ok total={got}")
@@ -80,7 +85,7 @@ from mica_tpu.train.trainer import Trainer
 
 addr, pid = sys.argv[1], int(sys.argv[2])
 distributed.initialize(coordinator_address=addr, num_processes=2, process_id=pid,
-                       shutdown_timeout_seconds=900)
+                       shutdown_timeout_seconds=900, backend="cpu")
 mesh = distributed.global_mesh(backend="cpu")
 assert mesh.devices.size == 8
 print(f"proc {pid}: mesh up", flush=True)
@@ -113,6 +118,24 @@ print(f"proc {pid}: train ok loss={loss:.6f}")
 """
 
 
+def _worker_env() -> dict:
+    """Subprocess env for CPU gloo workers.
+
+    Scrubs the axon TPU plugin trigger: sitecustomize dials the tunneled
+    TPU at *interpreter start* (before any worker code runs), so a degraded
+    relay hangs the worker outright — no amount of backend pinning inside
+    the script can help.  CPU workers must never register that plugin.
+    """
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get(
+        "PYTHONPATH", ""
+    )
+    # the conftest env for the in-process suite must not leak device counts
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
 @pytest.mark.skipif(os.environ.get("MICA_SKIP_MULTIPROC") == "1",
                     reason="multiprocess test disabled")
 def test_two_virtual_hosts(tmp_path):
@@ -122,12 +145,7 @@ def test_two_virtual_hosts(tmp_path):
     addr = f"localhost:{port}"
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get(
-        "PYTHONPATH", ""
-    )
-    # the conftest env for the in-process suite must not leak device counts
-    env.pop("JAX_PLATFORMS", None)
+    env = _worker_env()
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), addr, str(i)],
@@ -138,7 +156,8 @@ def test_two_virtual_hosts(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            # generous for worst-case startup skew on a contended 1-core host
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -160,11 +179,7 @@ def test_two_host_training_step(tmp_path):
     addr = f"localhost:{port}"
     script = tmp_path / "train_worker.py"
     script.write_text(TRAIN_WORKER)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get(
-        "PYTHONPATH", ""
-    )
-    env.pop("JAX_PLATFORMS", None)
+    env = _worker_env()
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", str(script), addr, str(i)],

@@ -33,15 +33,12 @@ import mrcfile_shim  # noqa: E402
 
 sys.modules.setdefault("mrcfile", mrcfile_shim)
 # BioPython is imported at module level by the reference preprocessing but
-# unused on the resample/normalize path this test drives — stub it
-if "Bio" not in sys.modules:
-    import types
+# unused on the resample/normalize path this test drives.  Install the shared
+# shim unconditionally: its assignment semantics + inert-attribute fallback
+# make module import-order (e.g. after test_trace_oracle) irrelevant.
+import bio_shim  # noqa: E402
 
-    bio = types.ModuleType("Bio")
-    bio.PDB = types.ModuleType("Bio.PDB")
-    bio.PDB.__getattr__ = lambda name: (lambda *a, **k: None)
-    sys.modules["Bio"] = bio
-    sys.modules["Bio.PDB"] = bio.PDB
+bio_shim.install()
 sys.path.insert(0, str(REF))
 
 from mica_tpu.io import mrc as mrc_io  # noqa: E402

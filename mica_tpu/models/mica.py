@@ -31,6 +31,7 @@ the ``dropout_rate`` call argument; heads use 2x the base rate
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -273,10 +274,29 @@ class DualAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, dropout_rate: float, train: bool):
-        # depthwise via XLA grouped conv: measured faster than explicit
-        # shifted FMAs on v5e (68ms vs 81ms for the 64-ch encoder stage)
-        local = Conv(self.channels, 3, groups=self.channels, dtype=self.dtype,
-                     name="local_conv")(x)
+        dw_mode = os.environ.get("MICA_PALLAS_DW", "")
+        use_pallas = not train and (
+            (dw_mode == "1" and jax.default_backend() == "tpu")
+            or dw_mode == "interpret"  # any backend, for full-model tests
+        )
+        if use_pallas:
+            # VPU-native Pallas kernel: the depthwise conv is an MXU-free
+            # bandwidth-class op that XLA's grouped-conv lowering runs far
+            # above its roofline (ops/depthwise_pallas.py).  Opt-in until
+            # A/B-measured on hardware.  Inference only — the direct conv
+            # differentiates; parameters live at the identical tree path.
+            from ..ops.depthwise_pallas import depthwise_conv3_pallas
+
+            k, b = _NamedConvParams((3, 3, 3, 1, self.channels),
+                                    self.channels, name="local_conv")()
+            local = depthwise_conv3_pallas(
+                x if self.dtype is None else x.astype(self.dtype), k, b,
+                interpret=dw_mode == "interpret")
+        else:
+            # depthwise via XLA grouped conv: measured faster than explicit
+            # shifted FMAs on v5e (68ms vs 81ms for the 64-ch encoder stage)
+            local = Conv(self.channels, 3, groups=self.channels,
+                         dtype=self.dtype, name="local_conv")(x)
         local = instance_norm(local)
         local = nn.relu(local)
         local = ChannelDropout()(local, dropout_rate, train)

@@ -1,0 +1,139 @@
+"""Pallas depthwise 3x3x3 conv — a VPU-native kernel for DualAttention.
+
+The network's "local attention" convs (reference model.py:80; one per
+encoder stage at C = 64/128/256) are depthwise: 27 multiply-adds per
+voxel-channel, no contraction — an MXU-free, bandwidth-class op that XLA's
+grouped-conv lowering runs far above its VPU/HBM roofline (measured
+25.4 ms at C=64 / batch 8 / 64-cubes on v5e, vs a ~1.5 ms HBM bound).
+
+Kernel design (why this one works where two earlier formulations didn't —
+see PERFORMANCE.md "Pallas post-mortem"):
+
+  * layout (B, D, H, W, C): C on the 128-lane axis, W on sublanes, D/H
+    untiled.  The dz/dy taps become *row offset* reads on untiled axes
+    (free); only the dx taps touch a tiled axis, and those use
+    ``pltpu.roll`` on the sublane dim (a hardware rotate) plus a one-column
+    edge mask — no misaligned-slice relayouts, no lane-axis competition
+    between taps and channels (the failure mode of the tap-packed MXU
+    formulation).
+  * grid over (B, D/blk); the z-halo arrives through two SINGLE-ROW views
+    of the input (the row below / above the block, clamped at the volume
+    edge and masked there), so HBM traffic is (blk+2)/blk of the input —
+    not the 3x a full-neighbour-block scheme pays.  Pallas double-buffers
+    every BlockSpec input across grid steps, overlapping DMA with compute.
+  * f32 accumulation in VMEM; one fused bias add; output written in the
+    compute dtype.  The z-block size adapts to keep the working set well
+    under VMEM across C = 64..256.
+
+SAME zero-padding semantics match ``nn.Conv(feature_group_count=C)``
+exactly; the result is bit-identical up to float reassociation (the tap
+order differs from XLA's reduction order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, out_ref):
+    """One (1, Dblk, H, W, C) output block.
+
+    ``prev_ref``/``next_ref`` are (1, 1, H, W, C) single-row views of the
+    z-halo (clamped at the volume edge; masked to zero there), ``k_ref``
+    the (27, C) tap table in f32, ``b_ref`` the (1, C) bias.
+    """
+    zi = pl.program_id(1)
+    nz = pl.num_programs(1)
+    _, dblk, h, w, c = out_ref.shape
+
+    # extended z-slab: [row below | block | row above], zero rows where
+    # the volume ends (SAME padding in z)
+    top = jnp.where(zi > 0, prev_ref[0, 0], 0.0)[None]
+    bot = jnp.where(zi < nz - 1, next_ref[0, 0], 0.0)[None]
+    slab = jnp.concatenate([top, cur_ref[0], bot], axis=0)
+    # zero-pad H (untiled axis: a cheap row-granularity copy)
+    slab = jnp.concatenate(
+        [jnp.zeros((dblk + 2, 1, w, c), slab.dtype), slab,
+         jnp.zeros((dblk + 2, 1, w, c), slab.dtype)], axis=1
+    )
+
+    # dx taps: sublane rotates + one-column edge masks (SAME padding in x).
+    # out[x] = in[x-1]*k0 + in[x]*k1 + in[x+1]*k2
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    first = (col == 0)
+    last = (col == w - 1)
+
+    acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), out_ref.shape[1:])
+    for dz in range(3):
+        for dy in range(3):
+            rows = slab[dz:dz + dblk, dy:dy + h]
+            t0, t1, t2 = (k_ref[dz * 9 + dy * 3 + dx] for dx in range(3))
+            acc += rows.astype(jnp.float32) * t1
+            left = jnp.where(first, 0.0,
+                             pltpu.roll(rows, 1, 2).astype(jnp.float32))
+            acc += left * t0
+            right = jnp.where(last, 0.0,
+                              pltpu.roll(rows, w - 1, 2).astype(jnp.float32))
+            acc += right * t2
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("d_block", "interpret"))
+def depthwise_conv3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: jnp.ndarray, d_block: int = 0,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Depthwise 3x3x3 SAME conv: x (B,D,H,W,C), kernel (3,3,3,1,C) flax
+    grouped layout, bias (C,).  Returns x.dtype.
+
+    ``d_block`` 0 = adaptive: the largest divisor of D that keeps one
+    input block at <= ~4 MB (double-buffered in/out plus the f32
+    accumulator then stay well inside v5e's VMEM at every stage width).
+    """
+    b, d, h, w, c = x.shape
+    assert kernel.shape == (3, 3, 3, 1, c), kernel.shape
+    if d_block <= 0:
+        row_bytes = h * w * c * x.dtype.itemsize
+        d_block = max(1, (4 << 20) // row_bytes)
+    while d % d_block:
+        d_block -= 1
+    nz = d // d_block
+
+    taps = kernel[:, :, :, 0, :].reshape(27, c).astype(jnp.float32)
+    bias2 = bias.reshape(1, c).astype(jnp.float32)
+
+    blk = (1, d_block, h, w, c)
+    row = (1, 1, h, w, c)
+    # halo index_maps are in units of the spec's own block shape (one row)
+    prev_spec = pl.BlockSpec(
+        row, lambda bi, zi: (bi, jnp.clip(zi * d_block - 1, 0, d - 1), 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    next_spec = pl.BlockSpec(
+        row, lambda bi, zi: (bi, jnp.clip(zi * d_block + d_block, 0, d - 1),
+                             0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    return pl.pallas_call(
+        _kernel,
+        grid=(b, nz),
+        in_specs=[
+            prev_spec,
+            pl.BlockSpec(blk, lambda bi, zi: (bi, zi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            next_spec,
+            pl.BlockSpec((27, c), lambda bi, zi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, zi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda bi, zi: (bi, zi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, x, x, taps, bias2)

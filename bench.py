@@ -80,78 +80,6 @@ def _train_bench(batch: int = 8, iters: int = 3):
     }
 
 
-def _autotune_depthwise():
-    """A/B the depthwise-conv formulations on the live backend and enable
-    the Pallas kernel (MICA_PALLAS_DW=1) only if it measures faster AND
-    matches XLA's grouped conv to bf16 tolerance at every DualAttention
-    shape.  Exception-safe: any Mosaic/compile failure keeps the XLA path.
-    Returns a detail dict for the bench JSON."""
-    import os
-    import time as _time
-
-    import jax
-    import jax.numpy as jnp
-
-    if jax.default_backend() != "tpu" or os.environ.get("MICA_PALLAS_DW"):
-        return {"path": "xla" if not os.environ.get("MICA_PALLAS_DW")
-                else os.environ["MICA_PALLAS_DW"], "autotuned": False}
-
-    try:
-        import flax.linen as nn
-
-        from mica_tpu.ops.depthwise_pallas import depthwise_conv3_pallas
-
-        rng = np.random.default_rng(1)
-        detail = {"autotuned": True}
-        total_xla = total_pallas = 0.0
-        for c in (64, 128, 256):  # the three DualAttention widths at base 64
-            x = jnp.asarray(rng.normal(size=(8, 64, 64, 64, c)), jnp.bfloat16)
-            k = jnp.asarray(rng.normal(size=(3, 3, 3, 1, c)), jnp.float32)
-            b = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
-            conv = nn.Conv(features=c, kernel_size=(3,) * 3, padding="SAME",
-                           feature_group_count=c, dtype=jnp.bfloat16,
-                           param_dtype=jnp.float32)
-            variables = {"params": {"kernel": k, "bias": b}}
-            xla_fn = jax.jit(lambda xx, _c=conv, _v=variables: _c.apply(_v, xx))
-            pl_fn = jax.jit(lambda xx, _k=k, _b=b: depthwise_conv3_pallas(
-                xx, _k, _b))
-
-            ref = np.asarray(xla_fn(x)[:2, :2, :2], np.float32)
-            got = np.asarray(pl_fn(x)[:2, :2, :2], np.float32)
-            err = float(np.max(np.abs(ref - got)))
-            scale = float(np.max(np.abs(ref)) + 1e-6)
-            if err > 0.1 * scale:
-                return {"path": "xla", "autotuned": True,
-                        "reject": f"parity C={c} err={err:.3f}"}
-
-            def _t(fn, xx, reps=6):
-                out = fn(xx)
-                _ = np.asarray(out[0, 0, 0, 0, 0])  # forced readback
-                t0 = _time.perf_counter()
-                for _ in range(reps):
-                    out = fn(xx)
-                _ = np.asarray(out[0, 0, 0, 0, 0])
-                return (_time.perf_counter() - t0) / reps
-
-            t_x, t_p = _t(xla_fn, x), _t(pl_fn, x)
-            detail[f"c{c}_xla_ms"] = round(t_x * 1e3, 2)
-            detail[f"c{c}_pallas_ms"] = round(t_p * 1e3, 2)
-            total_xla += t_x
-            total_pallas += t_p
-
-        if total_pallas < total_xla:
-            os.environ["MICA_PALLAS_DW"] = "1"
-            detail["path"] = "pallas"
-            detail["saved_ms_per_step"] = round((total_xla - total_pallas)
-                                                * 1e3, 1)
-        else:
-            detail["path"] = "xla"
-        return detail
-    except Exception as e:  # noqa: BLE001 - never sink the bench
-        return {"path": "xla", "autotuned": True,
-                "error": f"{type(e).__name__}: {e}"[:200]}
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -198,9 +126,13 @@ def main():
     params = init_params_fast(model, (x0, af0))
 
     # pick the faster depthwise-conv formulation on this hardware BEFORE the
-    # engine traces its model program (the gate reads env at trace time)
+    # engine traces its model program (the gate reads env at trace time);
+    # the predictor would run this itself, but doing it here surfaces the
+    # A/B timings in the bench JSON even on a disk-cache miss
     _stage('depthwise autotune')
-    dw_detail = _autotune_depthwise()
+    from mica_tpu.ops.depthwise_pallas import pick_depthwise_path
+
+    dw_detail = pick_depthwise_path()
     _stage(f'depthwise path: {dw_detail.get("path")}')
 
     batch_size = 8

@@ -33,6 +33,8 @@ order differs from XLA's reduction order).
 from __future__ import annotations
 
 import functools
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -137,3 +139,127 @@ def depthwise_conv3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, x, x, taps, bias2)
+
+
+# ---------------------------------------------------------------------------
+# runtime path selection
+# ---------------------------------------------------------------------------
+
+_AUTOTUNE_MEMO: dict = {}
+_CACHE_FILE = os.path.join(os.path.expanduser("~"), ".cache", "mica_tpu",
+                           "dw_autotune.json")
+
+
+def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
+                        spatial: int = 64, set_env: bool = True) -> dict:
+    """A/B this kernel against XLA's grouped conv on the live backend and
+    (by default) publish the decision via ``MICA_PALLAS_DW`` — the env var
+    the model gate (models/mica.py DualAttention) reads at trace time.
+
+    The Pallas path is chosen only if it is faster in aggregate over the
+    given channel widths AND matches XLA to bf16 tolerance at each one.
+    Decisions are memoized per process and cached on disk keyed by device
+    kind + shape, so a CLI run pays the measurement once per platform.
+    Exception-safe: any compile/runtime failure selects the XLA path.
+    """
+    import time
+
+    import numpy as np
+
+    key = None
+    try:
+        if jax.default_backend() != "tpu":
+            return {"path": "xla", "autotuned": False, "why": "not on tpu"}
+        if os.environ.get("MICA_PALLAS_DW") is not None:
+            return {"path": os.environ["MICA_PALLAS_DW"] or "xla",
+                    "autotuned": False, "why": "env override"}
+
+        kind = getattr(jax.devices()[0], "device_kind", "tpu")
+        key = f"{kind}|b{batch}|s{spatial}|w{','.join(map(str, widths))}"
+        cached = _AUTOTUNE_MEMO.get(key)
+        if cached is None:
+            try:
+                with open(_CACHE_FILE) as f:
+                    cached = json.load(f).get(key)
+            except (OSError, ValueError):
+                cached = None
+        if cached is not None:
+            _AUTOTUNE_MEMO[key] = cached
+            if set_env and cached.get("path") == "pallas":
+                os.environ["MICA_PALLAS_DW"] = "1"
+            return dict(cached, cache_hit=True)
+
+        import flax.linen as nn
+
+        rng = np.random.default_rng(1)
+        detail: dict = {"autotuned": True}
+        total_xla = total_pallas = 0.0
+        for c in widths:
+            x = jnp.asarray(
+                rng.normal(size=(batch, spatial, spatial, spatial, c)),
+                jnp.bfloat16)
+            k = jnp.asarray(rng.normal(size=(3, 3, 3, 1, c)), jnp.float32)
+            b = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+            conv = nn.Conv(features=c, kernel_size=(3,) * 3, padding="SAME",
+                           feature_group_count=c, dtype=jnp.bfloat16,
+                           param_dtype=jnp.float32)
+            variables = {"params": {"kernel": k, "bias": b}}
+            xla_fn = jax.jit(
+                lambda xx, _c=conv, _v=variables: _c.apply(_v, xx))
+            pl_fn = jax.jit(
+                lambda xx, _k=k, _b=b: depthwise_conv3_pallas(xx, _k, _b))
+
+            ref = np.asarray(xla_fn(x)[:2, :2, :2], np.float32)
+            got = np.asarray(pl_fn(x)[:2, :2, :2], np.float32)
+            err = float(np.max(np.abs(ref - got)))
+            scale = float(np.max(np.abs(ref)) + 1e-6)
+            if err > 0.1 * scale:
+                detail.update(path="xla", reject=f"parity C={c} err={err:.3f}")
+                break
+
+            def _t(fn, xx, reps=6):
+                out = fn(xx)
+                _ = np.asarray(out[0, 0, 0, 0, 0])  # forced readback
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = fn(xx)
+                _ = np.asarray(out[0, 0, 0, 0, 0])
+                return (time.perf_counter() - t0) / reps
+
+            t_x, t_p = _t(xla_fn, x), _t(pl_fn, x)
+            detail[f"c{c}_xla_ms"] = round(t_x * 1e3, 2)
+            detail[f"c{c}_pallas_ms"] = round(t_p * 1e3, 2)
+            total_xla += t_x
+            total_pallas += t_p
+        else:
+            if total_pallas < total_xla:
+                detail["path"] = "pallas"
+                detail["saved_ms_per_step"] = round(
+                    (total_xla - total_pallas) * 1e3, 1)
+            else:
+                detail["path"] = "xla"
+    except Exception as e:  # noqa: BLE001 - selection must never fail
+        detail = {"path": "xla", "autotuned": True,
+                  "error": f"{type(e).__name__}: {e}"[:200]}
+        if key is not None:  # don't re-pay a failing compile per predictor,
+            _AUTOTUNE_MEMO[key] = detail  # but keep errors off the disk cache
+        return detail
+
+    _AUTOTUNE_MEMO[key] = detail
+    try:
+        os.makedirs(os.path.dirname(_CACHE_FILE), exist_ok=True)
+        try:
+            with open(_CACHE_FILE) as f:
+                all_entries = json.load(f)
+        except (OSError, ValueError):
+            all_entries = {}
+        all_entries[key] = detail
+        tmp = _CACHE_FILE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(all_entries, f, indent=1)
+        os.replace(tmp, _CACHE_FILE)
+    except OSError:
+        pass
+    if set_env and detail.get("path") == "pallas":
+        os.environ["MICA_PALLAS_DW"] = "1"
+    return detail

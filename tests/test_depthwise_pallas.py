@@ -66,6 +66,20 @@ def test_full_model_gate_parity(rng, monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_pick_depthwise_path_gates(monkeypatch):
+    """Path selection: explicit env always wins; non-TPU backends never
+    autotune (and never set the env var)."""
+    from mica_tpu.ops import depthwise_pallas as dp
+
+    monkeypatch.setenv("MICA_PALLAS_DW", "0")
+    out = dp.pick_depthwise_path()
+    assert out["autotuned"] is False
+    monkeypatch.delenv("MICA_PALLAS_DW", raising=False)
+    out = dp.pick_depthwise_path()  # CPU backend under tests
+    assert out == {"path": "xla", "autotuned": False, "why": "not on tpu"}
+    assert "MICA_PALLAS_DW" not in __import__("os").environ
+
+
 def test_bf16_io(rng):
     """bf16 in/out with f32 accumulation: matches the f32 reference to
     bf16 tolerance."""

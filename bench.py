@@ -35,6 +35,38 @@ A100_BASELINE_VOXELS_PER_SEC = 5.5e5
 
 
 def _train_bench(batch: int = 8, iters: int = 3):
+    """Training step time / samples/s / FLOP rate.  If the depthwise
+    autotune picked the Pallas kernel (from inference timings), A/B the
+    training step too — its backward runs two more Pallas programs whose
+    cost the inference A/B never saw — and report the better config."""
+    import gc
+    import os
+
+    import jax
+
+    detail = _train_one(batch, iters)
+    if os.environ.get("MICA_PALLAS_DW") == "1":
+        detail["dw_path"] = "pallas"
+        jax.clear_caches()
+        gc.collect()
+        os.environ["MICA_PALLAS_DW"] = "0"
+        try:
+            d_xla = _train_one(batch, iters)
+        except Exception:  # noqa: BLE001 - keep the measured config
+            d_xla = None
+        finally:
+            os.environ["MICA_PALLAS_DW"] = "1"
+        if d_xla is not None:
+            if d_xla["step_s"] < detail["step_s"]:
+                d_xla["dw_path"] = "xla"
+                d_xla["pallas_dw_step_s"] = detail["step_s"]
+                detail = d_xla
+            else:
+                detail["xla_dw_step_s"] = d_xla["step_s"]
+    return detail
+
+
+def _train_one(batch: int = 8, iters: int = 3):
     """One jitted training step config: step time / samples/s / FLOP rate."""
     import time as _time
 

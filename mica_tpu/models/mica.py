@@ -145,22 +145,6 @@ class _ConvParams(nn.Module):
         return k, b
 
 
-class DepthwiseConv(nn.Module):
-    """Depthwise 3x3x3 conv computed as 27 shifted FMAs (VPU-friendly);
-    parameter layout matches flax grouped nn.Conv (kernel (3,3,3,1,C))."""
-
-    channels: int
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        from ..ops.conv_fast import depthwise_conv3
-
-        k, b = _ConvParams((3, 3, 3, 1, self.channels), self.channels,
-                           name="Conv_0")()
-        return depthwise_conv3(x, k, b)
-
-
 class SEBlock(nn.Module):
     """Squeeze-excite with dense bottleneck (reference model.py:241-258)."""
 
@@ -275,23 +259,25 @@ class DualAttention(nn.Module):
     @nn.compact
     def __call__(self, x, dropout_rate: float, train: bool):
         dw_mode = os.environ.get("MICA_PALLAS_DW", "")
-        use_pallas = not train and (
+        use_pallas = (
             (dw_mode == "1" and jax.default_backend() == "tpu")
             or dw_mode == "interpret"  # any backend, for full-model tests
         )
         if use_pallas:
             # VPU-native Pallas kernel: the depthwise conv is an MXU-free
             # bandwidth-class op that XLA's grouped-conv lowering runs far
-            # above its roofline (ops/depthwise_pallas.py).  Opt-in until
-            # A/B-measured on hardware.  Inference only — the direct conv
-            # differentiates; parameters live at the identical tree path.
-            from ..ops.depthwise_pallas import depthwise_conv3_pallas
+            # above its roofline (ops/depthwise_pallas.py).  Opt-in: set by
+            # pick_depthwise_path() after a measured, parity-gated win on
+            # the live platform.  Differentiable (custom Pallas VJP), so
+            # training takes it too; parameters live at the identical tree
+            # path either way.
+            from ..ops.depthwise_pallas import depthwise_conv3_pallas_ad
 
             k, b = _NamedConvParams((3, 3, 3, 1, self.channels),
                                     self.channels, name="local_conv")()
-            local = depthwise_conv3_pallas(
+            local = depthwise_conv3_pallas_ad(
                 x if self.dtype is None else x.astype(self.dtype), k, b,
-                interpret=dw_mode == "interpret")
+                dw_mode == "interpret")
         else:
             # depthwise via XLA grouped conv: measured faster than explicit
             # shifted FMAs on v5e (68ms vs 81ms for the 64-ch encoder stage)

@@ -142,6 +142,131 @@ def depthwise_conv3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# gradients
+# ---------------------------------------------------------------------------
+
+
+def _grad_kernel(prevx_ref, x_ref, nextx_ref, g_ref, out_ref):
+    """Accumulates d(kernel) (rows 0..26) and d(bias) (row 27) into a
+    (28, C) f32 block revisited across every grid step (sequential TPU
+    grid).  Same z-slab construction as the forward kernel; the tap
+    offsets index the padded INPUT slab against the un-shifted output
+    gradient block, which realizes the zero-padding of SAME semantics."""
+    bi = pl.program_id(0)
+    zi = pl.program_id(1)
+    nz = pl.num_programs(1)
+    _, dblk, h, w, c = g_ref.shape
+
+    @pl.when((bi == 0) & (zi == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    top = jnp.where(zi > 0, prevx_ref[0, 0], 0.0)[None]
+    bot = jnp.where(zi < nz - 1, nextx_ref[0, 0], 0.0)[None]
+    slab = jnp.concatenate([top, x_ref[0], bot], axis=0)
+    slab = jnp.concatenate(
+        [jnp.zeros((dblk + 2, 1, w, c), slab.dtype), slab,
+         jnp.zeros((dblk + 2, 1, w, c), slab.dtype)], axis=1
+    )
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    first = (col == 0)
+    last = (col == w - 1)
+
+    g = g_ref[0].astype(jnp.float32)
+    sums = [None] * 28
+    sums[27] = jnp.sum(g, axis=(0, 1, 2))
+    for dz in range(3):
+        for dy in range(3):
+            rows = slab[dz:dz + dblk, dy:dy + h].astype(jnp.float32)
+            # dk[tap] = sum_p x[p + tap - 1] * g[p]; the dx-direction
+            # shifts mirror the forward kernel's rotate-and-mask scheme
+            sums[dz * 9 + dy * 3 + 1] = jnp.sum(rows * g, axis=(0, 1, 2))
+            left = jnp.where(first, 0.0, pltpu.roll(rows, 1, 2))
+            sums[dz * 9 + dy * 3 + 0] = jnp.sum(left * g, axis=(0, 1, 2))
+            right = jnp.where(last, 0.0, pltpu.roll(rows, w - 1, 2))
+            sums[dz * 9 + dy * 3 + 2] = jnp.sum(right * g, axis=(0, 1, 2))
+    out_ref[...] += jnp.stack(sums)
+
+
+@functools.partial(jax.jit, static_argnames=("d_block", "interpret"))
+def _depthwise_conv3_grads(x: jnp.ndarray, g: jnp.ndarray,
+                           d_block: int = 0,
+                           interpret: bool = False):
+    """(dk, db) for the depthwise 3x3x3 SAME conv: one pass over x and g
+    (HBM-bound), vs 27 shifted multiply-reduces (27 passes) if left to
+    XLA.  Returns dk (3,3,3,1,C) f32 and db (C,) f32."""
+    b, d, h, w, c = x.shape
+    if d_block <= 0:
+        row_bytes = h * w * c * x.dtype.itemsize
+        d_block = max(1, (4 << 20) // row_bytes)
+    while d % d_block:
+        d_block -= 1
+    nz = d // d_block
+
+    blk = (1, d_block, h, w, c)
+    row = (1, 1, h, w, c)
+    prev_spec = pl.BlockSpec(
+        row, lambda bi, zi: (bi, jnp.clip(zi * d_block - 1, 0, d - 1), 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    next_spec = pl.BlockSpec(
+        row, lambda bi, zi: (bi, jnp.clip(zi * d_block + d_block, 0, d - 1),
+                             0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    out = pl.pallas_call(
+        _grad_kernel,
+        grid=(b, nz),
+        in_specs=[
+            prev_spec,
+            pl.BlockSpec(blk, lambda bi, zi: (bi, zi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            next_spec,
+            pl.BlockSpec(blk, lambda bi, zi: (bi, zi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((28, c), lambda bi, zi: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((28, c), jnp.float32),
+        interpret=interpret,
+    )(x, x, x, g)
+    return out[:27].reshape(3, 3, 3, 1, c), out[27]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def depthwise_conv3_pallas_ad(x: jnp.ndarray, kernel: jnp.ndarray,
+                              bias: jnp.ndarray, interpret: bool = False,
+                              d_block: int = 0) -> jnp.ndarray:
+    """Differentiable wrapper: identical forward, Pallas backward
+    (dx = SAME conv of the cotangent with the spatially flipped kernel;
+    dk/db in one fused accumulation pass)."""
+    return depthwise_conv3_pallas(x, kernel, bias, d_block=d_block,
+                                  interpret=interpret)
+
+
+def _ad_fwd(x, kernel, bias, interpret, d_block):
+    return depthwise_conv3_pallas(x, kernel, bias, d_block=d_block,
+                                  interpret=interpret), (x, kernel)
+
+
+def _ad_bwd(interpret, d_block, res, g):
+    x, kernel = res
+    c = kernel.shape[-1]
+    k_flip = kernel[::-1, ::-1, ::-1]
+    dx = depthwise_conv3_pallas(g, k_flip, jnp.zeros((c,), jnp.float32),
+                                d_block=d_block,
+                                interpret=interpret).astype(x.dtype)
+    dk, db = _depthwise_conv3_grads(x, g, d_block=d_block,
+                                    interpret=interpret)
+    return dx, dk.astype(kernel.dtype), db.astype(kernel.dtype)
+
+
+depthwise_conv3_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
+# ---------------------------------------------------------------------------
 # runtime path selection
 # ---------------------------------------------------------------------------
 

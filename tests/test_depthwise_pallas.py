@@ -66,6 +66,74 @@ def test_full_model_gate_parity(rng, monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_full_model_grad_through_gate(rng, monkeypatch):
+    """Gradients flow through the custom-VJP gate with the same values as
+    the XLA grouped-conv path (training uses the Pallas kernel too)."""
+    from mica_tpu.models.init import init_params_fast
+    from mica_tpu.models.mica import MICA
+
+    model = MICA(base=16)
+    x = jnp.asarray(rng.normal(size=(1, 12, 12, 12, 1)), jnp.float32)
+    monkeypatch.delenv("MICA_PALLAS_DW", raising=False)
+    params = {"params": init_params_fast(model, (x,))}
+
+    def loss(p):
+        bb, ca, aa = model.apply(p, x)
+        return jnp.sum(bb ** 2) + jnp.sum(ca ** 2) + jnp.sum(aa ** 2)
+
+    g_ref = jax.grad(loss)(params)
+    monkeypatch.setenv("MICA_PALLAS_DW", "interpret")
+    g_pl = jax.grad(loss)(params)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pl)
+    # Norm-based comparison: the quadratic loss + random-weight instance
+    # norms amplify f32 reassociation into a uniform ~0.3% drift on every
+    # upstream leaf (measured; the isolated VJP matches to 2e-4).  Leaves
+    # with near-zero true gradient (biases of convs feeding instance norm,
+    # which cancels constant shifts) are checked absolutely.
+    gnorm = float(np.sqrt(sum(
+        np.sum(np.asarray(r, np.float64) ** 2) for _, r in flat_r)))
+    for (path_r, r), (_, p) in zip(flat_r, flat_p):
+        r64 = np.asarray(r, np.float64)
+        p64 = np.asarray(p, np.float64)
+        err = float(np.linalg.norm(p64 - r64))
+        ref_n = float(np.linalg.norm(r64))
+        name = jax.tree_util.keystr(path_r)
+        if ref_n < 1e-3 * gnorm:  # degenerate (true grad ~ 0)
+            assert err < 1e-2 * gnorm, (name, err, gnorm)
+        else:
+            assert err / ref_n < 1e-2, (name, err / ref_n)
+
+
+@pytest.mark.parametrize("shape,d_block", [
+    ((2, 8, 8, 8, 8), 4),      # z-halo taps cross block boundaries
+    ((1, 8, 8, 8, 16), 8),     # single block (edge clamps masked)
+])
+def test_grad_parity(rng, shape, d_block):
+    """custom_vjp backward (Pallas dx + fused dk/db accumulation) against
+    XLA autodiff through the shifted-FMA reference formulation."""
+    from mica_tpu.ops.depthwise_pallas import depthwise_conv3_pallas_ad
+
+    b, d, h, w, c = shape
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 1, c)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def loss_ref(x_, k_, b_):
+        return jnp.sum(depthwise_conv3(x_, k_, b_) * cot)
+
+    def loss_pl(x_, k_, b_):
+        return jnp.sum(
+            depthwise_conv3_pallas_ad(x_, k_, b_, True, d_block) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(x, k, bias)
+    for name, r, p in zip(("dx", "dk", "db"), g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_pick_depthwise_path_gates(monkeypatch):
     """Path selection: explicit env always wins; non-TPU backends never
     autotune (and never set the env var)."""

@@ -29,6 +29,8 @@ def timeit(fn, *args, reps=10):
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -39,8 +41,10 @@ def main():
     import flax.linen as nn
 
     from mica_tpu.ops.conv_fast import depthwise_conv3_dense
-    from mica_tpu.ops.depthwise_pallas import depthwise_conv3_pallas
+    from mica_tpu.ops.depthwise_pallas import (depthwise_conv3_pallas,
+                                               depthwise_conv3_pallas_ad)
 
+    bench_grads = "--grads" in sys.argv
     print("backend:", jax.default_backend(), jax.devices())
     rng = np.random.default_rng(0)
     B, S = 8, 64
@@ -72,6 +76,22 @@ def main():
         line = " ".join(f"{k2}={v * 1e3:7.2f}ms" for k2, v in results.items())
         print(f"C={C:4d} {line}  speedup={t_x / t_p:4.2f}x "
               f"hbm_floor={hbm_ms:5.2f}ms maxerr={err:.3f}")
+
+        if bench_grads:
+            # full VJP cost (dx + dk + db), both formulations
+            def loss_xla(xx, vv):
+                return jnp.sum(conv.apply(vv, xx).astype(jnp.float32) ** 2)
+
+            def loss_pl(xx, kk, bb):
+                return jnp.sum(depthwise_conv3_pallas_ad(
+                    xx, kk, bb).astype(jnp.float32) ** 2)
+
+            gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))
+            gp = jax.jit(jax.grad(loss_pl, argnums=(0, 1, 2)))
+            tg_x = timeit(lambda xx: gx(xx, variables)[0], x)
+            tg_p = timeit(lambda xx: gp(xx, k, b)[0], x)
+            print(f"C={C:4d} grads: xla={tg_x * 1e3:7.2f}ms "
+                  f"pallas={tg_p * 1e3:7.2f}ms speedup={tg_x / tg_p:4.2f}x")
 
 
 if __name__ == "__main__":

@@ -148,6 +148,26 @@ def test_pick_depthwise_path_gates(monkeypatch):
     assert "MICA_PALLAS_DW" not in __import__("os").environ
 
 
+def test_pick_depthwise_path_fallback(monkeypatch):
+    """If the Pallas compile fails on the live backend, selection must
+    fall back to XLA without raising and without publishing the env var
+    (the round-end bench and every engine construction rely on this)."""
+    from mica_tpu.ops import depthwise_pallas as dp
+
+    monkeypatch.delenv("MICA_PALLAS_DW", raising=False)
+    monkeypatch.setattr(dp.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dp, "_CACHE_FILE", "/nonexistent-dir/x.json")
+    monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})
+    out = dp.pick_depthwise_path(widths=(8,), batch=1, spatial=8)
+    # CPU can't lower the TPU kernel -> the exception path must engage
+    assert out["path"] == "xla" and "error" in out
+    assert "MICA_PALLAS_DW" not in __import__("os").environ
+    # errors are memoized in-process (no re-pay per predictor)
+    assert dp._AUTOTUNE_MEMO
+    out2 = dp.pick_depthwise_path(widths=(8,), batch=1, spatial=8)
+    assert out2["path"] == "xla"
+
+
 def test_bf16_io(rng):
     """bf16 in/out with f32 accumulation: matches the f32 reference to
     bf16 tolerance."""

@@ -298,6 +298,11 @@ def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
         if os.environ.get("MICA_PALLAS_DW") is not None:
             return {"path": os.environ["MICA_PALLAS_DW"] or "xla",
                     "autotuned": False, "why": "env override"}
+        if jax.process_count() > 1:
+            # Per-host timing could diverge, and hosts compiling DIFFERENT
+            # programs for one SPMD computation deadlocks the collectives.
+            # Multi-host runs must opt in uniformly via MICA_PALLAS_DW=1.
+            return {"path": "xla", "autotuned": False, "why": "multi-host"}
 
         kind = getattr(jax.devices()[0], "device_kind", "tpu")
         key = f"{kind}|b{batch}|s{spatial}|w{','.join(map(str, widths))}"

@@ -260,7 +260,11 @@ class DualAttention(nn.Module):
     def __call__(self, x, dropout_rate: float, train: bool):
         dw_mode = os.environ.get("MICA_PALLAS_DW", "")
         use_pallas = (
-            (dw_mode == "1" and jax.default_backend() == "tpu")
+            # bf16 compute only: the autotune that publishes "1" measures
+            # and parity-gates bf16, and float32 is the reference-parity
+            # mode that must keep XLA's reduction order
+            (dw_mode == "1" and self.dtype == jnp.bfloat16
+             and jax.default_backend() == "tpu")
             or dw_mode == "interpret"  # any backend, for full-model tests
         )
         if use_pallas:

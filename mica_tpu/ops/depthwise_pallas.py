@@ -85,6 +85,37 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, out_ref):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _z_blocking(shape, dtype, d_block: int = 0):
+    """Adaptive z-block size plus the shared BlockSpecs: the main
+    (1, d_block, H, W, C) block and the two clamped single-row z-halo
+    views (kernel-masked at the volume edges).  ``d_block`` 0 picks the
+    largest divisor of D keeping one input block <= ~4 MB, so the
+    double-buffered in/out blocks + the f32 accumulator stay well inside
+    v5e's VMEM at every stage width."""
+    _, d, h, w, c = shape
+    if d_block <= 0:
+        row_bytes = h * w * c * dtype.itemsize
+        d_block = max(1, (4 << 20) // row_bytes)
+    while d % d_block:
+        d_block -= 1
+    nz = d // d_block
+
+    blk = (1, d_block, h, w, c)
+    row = (1, 1, h, w, c)
+    # halo index_maps are in units of the spec's own block shape (one row)
+    prev_spec = pl.BlockSpec(
+        row, lambda bi, zi: (bi, jnp.clip(zi * d_block - 1, 0, d - 1),
+                             0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    next_spec = pl.BlockSpec(
+        row, lambda bi, zi: (bi, jnp.clip(zi * d_block + d_block, 0, d - 1),
+                             0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return d_block, nz, blk, prev_spec, next_spec
+
+
 @functools.partial(jax.jit, static_argnames=("d_block", "interpret"))
 def depthwise_conv3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
                            bias: jnp.ndarray, d_block: int = 0,
@@ -98,28 +129,11 @@ def depthwise_conv3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     """
     b, d, h, w, c = x.shape
     assert kernel.shape == (3, 3, 3, 1, c), kernel.shape
-    if d_block <= 0:
-        row_bytes = h * w * c * x.dtype.itemsize
-        d_block = max(1, (4 << 20) // row_bytes)
-    while d % d_block:
-        d_block -= 1
-    nz = d // d_block
+    d_block, nz, blk, prev_spec, next_spec = _z_blocking(x.shape, x.dtype,
+                                                         d_block)
 
     taps = kernel[:, :, :, 0, :].reshape(27, c).astype(jnp.float32)
     bias2 = bias.reshape(1, c).astype(jnp.float32)
-
-    blk = (1, d_block, h, w, c)
-    row = (1, 1, h, w, c)
-    # halo index_maps are in units of the spec's own block shape (one row)
-    prev_spec = pl.BlockSpec(
-        row, lambda bi, zi: (bi, jnp.clip(zi * d_block - 1, 0, d - 1), 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    next_spec = pl.BlockSpec(
-        row, lambda bi, zi: (bi, jnp.clip(zi * d_block + d_block, 0, d - 1),
-                             0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
 
     return pl.pallas_call(
         _kernel,
@@ -197,24 +211,8 @@ def _depthwise_conv3_grads(x: jnp.ndarray, g: jnp.ndarray,
     (HBM-bound), vs 27 shifted multiply-reduces (27 passes) if left to
     XLA.  Returns dk (3,3,3,1,C) f32 and db (C,) f32."""
     b, d, h, w, c = x.shape
-    if d_block <= 0:
-        row_bytes = h * w * c * x.dtype.itemsize
-        d_block = max(1, (4 << 20) // row_bytes)
-    while d % d_block:
-        d_block -= 1
-    nz = d // d_block
-
-    blk = (1, d_block, h, w, c)
-    row = (1, 1, h, w, c)
-    prev_spec = pl.BlockSpec(
-        row, lambda bi, zi: (bi, jnp.clip(zi * d_block - 1, 0, d - 1), 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    next_spec = pl.BlockSpec(
-        row, lambda bi, zi: (bi, jnp.clip(zi * d_block + d_block, 0, d - 1),
-                             0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    d_block, nz, blk, prev_spec, next_spec = _z_blocking(x.shape, x.dtype,
+                                                         d_block)
 
     out = pl.pallas_call(
         _grad_kernel,
@@ -248,11 +246,11 @@ def depthwise_conv3_pallas_ad(x: jnp.ndarray, kernel: jnp.ndarray,
 
 def _ad_fwd(x, kernel, bias, interpret, d_block):
     return depthwise_conv3_pallas(x, kernel, bias, d_block=d_block,
-                                  interpret=interpret), (x, kernel)
+                                  interpret=interpret), (x, kernel, bias)
 
 
 def _ad_bwd(interpret, d_block, res, g):
-    x, kernel = res
+    x, kernel, bias = res
     c = kernel.shape[-1]
     k_flip = kernel[::-1, ::-1, ::-1]
     dx = depthwise_conv3_pallas(g, k_flip, jnp.zeros((c,), jnp.float32),
@@ -260,7 +258,7 @@ def _ad_bwd(interpret, d_block, res, g):
                                 interpret=interpret).astype(x.dtype)
     dk, db = _depthwise_conv3_grads(x, g, d_block=d_block,
                                     interpret=interpret)
-    return dx, dk.astype(kernel.dtype), db.astype(kernel.dtype)
+    return dx, dk.astype(kernel.dtype), db.astype(bias.dtype)
 
 
 depthwise_conv3_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
@@ -275,29 +273,52 @@ _CACHE_FILE = os.path.join(os.path.expanduser("~"), ".cache", "mica_tpu",
                            "dw_autotune.json")
 
 
+def _code_fingerprint() -> str:
+    """Hash of this module's source + jax version: cached decisions must
+    not outlive the code that earned them (a later kernel fix would never
+    re-measure; a later kernel bug would skip the parity gate)."""
+    import hashlib
+
+    try:
+        with open(__file__, "rb") as f:
+            src = f.read()
+    except OSError:
+        src = b""
+    return hashlib.sha1(src + jax.__version__.encode()).hexdigest()[:10]
+
+
 def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
                         spatial: int = 64, set_env: bool = True) -> dict:
     """A/B this kernel against XLA's grouped conv on the live backend and
     (by default) publish the decision via ``MICA_PALLAS_DW`` — the env var
     the model gate (models/mica.py DualAttention) reads at trace time.
 
-    The Pallas path is chosen only if it is faster in aggregate over the
-    given channel widths AND matches XLA to bf16 tolerance at each one.
+    The Pallas path is chosen only if the forward is faster in aggregate
+    over the given channel widths AND the full output tensor matches XLA
+    to bf16 tolerance at each one AND the custom-VJP backward compiles
+    and matches XLA autodiff (publishing the env var flips training onto
+    the backward programs too, so they must be proven on this platform).
     Decisions are memoized per process and cached on disk keyed by device
-    kind + shape, so a CLI run pays the measurement once per platform.
-    Exception-safe: any compile/runtime failure selects the XLA path.
+    kind + shape + a code fingerprint, so a CLI run pays the measurement
+    once per platform.  Exception-safe: any compile/runtime failure
+    selects the XLA path.  Measurement shapes are capped at batch 8 /
+    64-cubes: decision-grade and bounded host memory.
     """
     import time
 
     import numpy as np
 
+    batch = min(int(batch), 8)
+    spatial = min(int(spatial), 64)
     key = None
     try:
         if jax.default_backend() != "tpu":
             return {"path": "xla", "autotuned": False, "why": "not on tpu"}
-        if os.environ.get("MICA_PALLAS_DW") is not None:
-            return {"path": os.environ["MICA_PALLAS_DW"] or "xla",
-                    "autotuned": False, "why": "env override"}
+        env = os.environ.get("MICA_PALLAS_DW")
+        if env is not None:
+            return {"path": {"1": "pallas", "interpret": "interpret"}.get(
+                        env, "xla"),
+                    "autotuned": False, "why": f"env override ({env!r})"}
         if jax.process_count() > 1:
             # Per-host timing could diverge, and hosts compiling DIFFERENT
             # programs for one SPMD computation deadlocks the collectives.
@@ -305,7 +326,8 @@ def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
             return {"path": "xla", "autotuned": False, "why": "multi-host"}
 
         kind = getattr(jax.devices()[0], "device_kind", "tpu")
-        key = f"{kind}|b{batch}|s{spatial}|w{','.join(map(str, widths))}"
+        key = (f"{kind}|b{batch}|s{spatial}|w{','.join(map(str, widths))}"
+               f"|{_code_fingerprint()}")
         cached = _AUTOTUNE_MEMO.get(key)
         if cached is None:
             try:
@@ -324,12 +346,20 @@ def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
         rng = np.random.default_rng(1)
         detail: dict = {"autotuned": True}
         total_xla = total_pallas = 0.0
+        shape = (batch, spatial, spatial, spatial)
+
+        @jax.jit
+        def _maxdiff(a, bb):  # full-tensor parity on device (covers every
+            return jnp.max(jnp.abs(a.astype(jnp.float32)  # z-block seam)
+                                   - bb.astype(jnp.float32)))
+
         for c in widths:
             x = jnp.asarray(
-                rng.normal(size=(batch, spatial, spatial, spatial, c)),
+                rng.standard_normal(shape + (c,), dtype=np.float32),
                 jnp.bfloat16)
-            k = jnp.asarray(rng.normal(size=(3, 3, 3, 1, c)), jnp.float32)
-            b = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+            k = jnp.asarray(
+                rng.standard_normal((3, 3, 3, 1, c), dtype=np.float32))
+            b = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
             conv = nn.Conv(features=c, kernel_size=(3,) * 3, padding="SAME",
                            feature_group_count=c, dtype=jnp.bfloat16,
                            param_dtype=jnp.float32)
@@ -339,12 +369,31 @@ def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
             pl_fn = jax.jit(
                 lambda xx, _k=k, _b=b: depthwise_conv3_pallas(xx, _k, _b))
 
-            ref = np.asarray(xla_fn(x)[:2, :2, :2], np.float32)
-            got = np.asarray(pl_fn(x)[:2, :2, :2], np.float32)
-            err = float(np.max(np.abs(ref - got)))
-            scale = float(np.max(np.abs(ref)) + 1e-6)
+            ref = xla_fn(x)
+            err = float(_maxdiff(ref, pl_fn(x)))
+            scale = float(jnp.max(jnp.abs(ref)).astype(jnp.float32)) + 1e-6
             if err > 0.1 * scale:
                 detail.update(path="xla", reject=f"parity C={c} err={err:.3f}")
+                break
+
+            # the backward must also compile and agree before training can
+            # be flipped onto it (publishing env=1 gates train paths too)
+            cot = jnp.asarray(
+                rng.standard_normal(shape + (c,), dtype=np.float32),
+                jnp.bfloat16)
+            gx = jax.jit(jax.grad(
+                lambda xx, _c=conv, _v=variables: jnp.sum(
+                    _c.apply(_v, xx).astype(jnp.float32) * cot)))
+            gp = jax.jit(jax.grad(
+                lambda xx, _k=k, _b=b: jnp.sum(
+                    depthwise_conv3_pallas_ad(xx, _k, _b).astype(jnp.float32)
+                    * cot)))
+            dref = gx(x)
+            derr = float(_maxdiff(dref, gp(x)))
+            dscale = float(jnp.max(jnp.abs(dref)).astype(jnp.float32)) + 1e-6
+            if derr > 0.1 * dscale:
+                detail.update(path="xla",
+                              reject=f"grad parity C={c} err={derr:.3f}")
                 break
 
             def _t(fn, xx, reps=6):

@@ -148,6 +148,24 @@ def test_pick_depthwise_path_gates(monkeypatch):
     assert "MICA_PALLAS_DW" not in __import__("os").environ
 
 
+def test_f32_models_keep_xla_under_env(monkeypatch, rng):
+    """A published MICA_PALLAS_DW=1 (from a bf16 autotune) must NOT flip
+    float32 models onto the Pallas kernel: f32 is the reference-parity
+    mode and keeps XLA's reduction order.  On this CPU host the Pallas
+    path would fail to lower, so merely not raising proves the guard."""
+    import mica_tpu.models.mica as mica_mod
+    from mica_tpu.models.init import init_params_fast
+    from mica_tpu.models.mica import MICA
+
+    monkeypatch.setenv("MICA_PALLAS_DW", "1")
+    monkeypatch.setattr(mica_mod.jax, "default_backend", lambda: "tpu")
+    model = MICA(base=16)  # dtype None -> float32 parity mode
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)), jnp.float32)
+    params = {"params": init_params_fast(model, (x,))}
+    out = model.apply(params, x)
+    assert all(bool(np.isfinite(np.asarray(o)).all()) for o in out)
+
+
 def test_pick_depthwise_path_fallback(monkeypatch):
     """If the Pallas compile fails on the live backend, selection must
     fall back to XLA without raising and without publishing the env var

@@ -44,18 +44,26 @@ def _train_bench(batch: int = 8, iters: int = 3):
 
     import jax
 
+    from mica_tpu.ops.depthwise_pallas import _VALIDATED_WIDTHS
+
     detail = _train_one(batch, iters)
-    if os.environ.get("MICA_PALLAS_DW") == "1":
+    pallas_on = (os.environ.get("MICA_PALLAS_DW") == "1"
+                 or any(_VALIDATED_WIDTHS.values()))
+    if pallas_on:
         detail["dw_path"] = "pallas"
         jax.clear_caches()
         gc.collect()
-        os.environ["MICA_PALLAS_DW"] = "0"
+        prev = os.environ.get("MICA_PALLAS_DW")
+        os.environ["MICA_PALLAS_DW"] = "0"  # force XLA for the B side
         try:
             d_xla = _train_one(batch, iters)
         except Exception:  # noqa: BLE001 - keep the measured config
             d_xla = None
         finally:
-            os.environ["MICA_PALLAS_DW"] = "1"
+            if prev is None:
+                del os.environ["MICA_PALLAS_DW"]
+            else:
+                os.environ["MICA_PALLAS_DW"] = prev
         if d_xla is not None:
             if d_xla["step_s"] < detail["step_s"]:
                 d_xla["dw_path"] = "xla"

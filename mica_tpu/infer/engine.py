@@ -249,19 +249,20 @@ class SlidingWindowPredictor:
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
             self.batch_size = pad_to_multiple(self.batch_size, n_dev)
-        # pick the faster depthwise-conv formulation for this platform
-        # BEFORE any model program is traced (the gate in models/mica.py
-        # reads MICA_PALLAS_DW at trace time).  bf16 only: float32 mode is
-        # the reference-parity path and keeps XLA's reduction order.
-        # No-ops off-TPU and under an explicit env override; measurement
-        # cost is paid once per platform (disk-cached decision).
+        # validate + A/B the depthwise-conv formulations for this model's
+        # widths at this window size BEFORE any model program is traced
+        # (the gate in models/mica.py consults the per-width registry at
+        # trace time).  bf16 only: float32 mode is the reference-parity
+        # path and keeps XLA's reduction order.  No-ops off-TPU and under
+        # an explicit MICA_PALLAS_DW override; measurement cost is paid
+        # once per platform+shape (disk-cached decision).
         self.dw_autotune: Dict = {"path": "xla", "autotuned": False}
         if dtype == jnp.bfloat16:
             from ..ops.depthwise_pallas import pick_depthwise_path
 
             self.dw_autotune = pick_depthwise_path(
                 widths=(base_filters, 2 * base_filters, 4 * base_filters),
-                batch=self.batch_size, spatial=self.window)
+                spatial=self.window)
         self.timing: Dict[str, float] = {}
         self._model_step = {}
         self._gather = {}

@@ -258,23 +258,24 @@ class DualAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, dropout_rate: float, train: bool):
+        from ..ops.depthwise_pallas import depthwise_active
+
         dw_mode = os.environ.get("MICA_PALLAS_DW", "")
-        use_pallas = (
-            # bf16 compute only: the autotune that publishes "1" measures
-            # and parity-gates bf16, and float32 is the reference-parity
-            # mode that must keep XLA's reduction order
-            (dw_mode == "1" and self.dtype == jnp.bfloat16
-             and jax.default_backend() == "tpu")
-            or dw_mode == "interpret"  # any backend, for full-model tests
+        use_pallas = dw_mode == "interpret" or (
+            # bf16 compute only (float32 is the reference-parity mode and
+            # must keep XLA's reduction order); the width must have been
+            # validated on THIS platform by pick_depthwise_path — or the
+            # operator forced MICA_PALLAS_DW=1 (handled inside the gate)
+            self.dtype == jnp.bfloat16 and depthwise_active(self.channels)
         )
         if use_pallas:
             # VPU-native Pallas kernel: the depthwise conv is an MXU-free
             # bandwidth-class op that XLA's grouped-conv lowering runs far
-            # above its roofline (ops/depthwise_pallas.py).  Opt-in: set by
-            # pick_depthwise_path() after a measured, parity-gated win on
-            # the live platform.  Differentiable (custom Pallas VJP), so
-            # training takes it too; parameters live at the identical tree
-            # path either way.
+            # above its roofline (ops/depthwise_pallas.py).  Enabled per
+            # width after a measured, parity-gated win on the live
+            # platform.  Differentiable (custom Pallas VJP, itself gated
+            # on grad parity), so training takes it too; parameters live
+            # at the identical tree path either way.
             from ..ops.depthwise_pallas import depthwise_conv3_pallas_ad
 
             k, b = _NamedConvParams((3, 3, 3, 1, self.channels),

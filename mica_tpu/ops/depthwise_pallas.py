@@ -269,8 +269,30 @@ depthwise_conv3_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
 # ---------------------------------------------------------------------------
 
 _AUTOTUNE_MEMO: dict = {}
+# Channel widths whose Pallas formulation has been PROVEN on this platform
+# in this process: full-tensor forward parity, grad parity (the custom VJP
+# compiles and matches XLA autodiff), and measured faster than the grouped
+# conv at that width.  The DualAttention gate consults this per width, so
+# a decision can never leak to an unvalidated configuration (a process-
+# global "on" bit could not express what it was validated for).
+_VALIDATED_WIDTHS: dict = {}
 _CACHE_FILE = os.path.join(os.path.expanduser("~"), ".cache", "mica_tpu",
                            "dw_autotune.json")
+
+
+def depthwise_active(channels: int) -> bool:
+    """Trace-time gate: should a depthwise conv of this width take the
+    Pallas kernel?  ``MICA_PALLAS_DW`` is an operator override ("0" force
+    off, "1" force on); otherwise only widths validated by
+    ``pick_depthwise_path`` on this platform qualify."""
+    env = os.environ.get("MICA_PALLAS_DW", "")
+    if env == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if env == "1":
+        return True
+    return bool(_VALIDATED_WIDTHS.get(int(channels)))
 
 
 def _code_fingerprint() -> str:
@@ -287,30 +309,28 @@ def _code_fingerprint() -> str:
     return hashlib.sha1(src + jax.__version__.encode()).hexdigest()[:10]
 
 
-def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
-                        spatial: int = 64, set_env: bool = True) -> dict:
-    """A/B this kernel against XLA's grouped conv on the live backend and
-    (by default) publish the decision via ``MICA_PALLAS_DW`` — the env var
-    the model gate (models/mica.py DualAttention) reads at trace time.
+def pick_depthwise_path(widths=(64, 128, 256), spatial: int = 64) -> dict:
+    """Validate + A/B this kernel against XLA's grouped conv on the live
+    backend, PER channel width, and register the winners in
+    ``_VALIDATED_WIDTHS`` (consulted by the DualAttention gate at trace
+    time via ``depthwise_active``).
 
-    The Pallas path is chosen only if the forward is faster in aggregate
-    over the given channel widths AND the full output tensor matches XLA
-    to bf16 tolerance at each one AND the custom-VJP backward compiles
-    and matches XLA autodiff (publishing the env var flips training onto
-    the backward programs too, so they must be proven on this platform).
-    Decisions are memoized per process and cached on disk keyed by device
-    kind + shape + a code fingerprint, so a CLI run pays the measurement
-    once per platform.  Exception-safe: any compile/runtime failure
-    selects the XLA path.  Measurement shapes are capped at batch 8 /
-    64-cubes: decision-grade and bounded host memory.
+    A width is enabled only if, at the REAL traced spatial size, the full
+    forward output matches XLA to bf16 tolerance (on-device max-abs-diff
+    — covers every z-block seam), the custom-VJP backward compiles and
+    matches XLA autodiff (enabling a width flips training onto the
+    backward programs too), and the Pallas forward measures faster.
+    Failures are per-width: a VMEM overflow at C=256 cannot cost the
+    C=64 win.  The measurement batch shrinks with spatial*width to bound
+    host/device memory (~2^27 elements per tensor).  Decisions are
+    memoized per process and disk-cached per device kind + shape + code
+    fingerprint.  Never raises; never mutates the environment.
     """
     import time
 
     import numpy as np
 
-    batch = min(int(batch), 8)
-    spatial = min(int(spatial), 64)
-    key = None
+    spatial = int(spatial)
     try:
         if jax.default_backend() != "tpu":
             return {"path": "xla", "autotuned": False, "why": "not on tpu"}
@@ -326,37 +346,51 @@ def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
             return {"path": "xla", "autotuned": False, "why": "multi-host"}
 
         kind = getattr(jax.devices()[0], "device_kind", "tpu")
-        key = (f"{kind}|b{batch}|s{spatial}|w{','.join(map(str, widths))}"
+        key = (f"{kind}|s{spatial}|w{','.join(map(str, widths))}"
                f"|{_code_fingerprint()}")
-        cached = _AUTOTUNE_MEMO.get(key)
-        if cached is None:
-            try:
-                with open(_CACHE_FILE) as f:
-                    cached = json.load(f).get(key)
-            except (OSError, ValueError):
-                cached = None
-        if cached is not None:
-            _AUTOTUNE_MEMO[key] = cached
-            if set_env and cached.get("path") == "pallas":
-                os.environ["MICA_PALLAS_DW"] = "1"
-            return dict(cached, cache_hit=True)
+    except Exception as e:  # noqa: BLE001 - selection must never fail
+        return {"path": "xla", "autotuned": False,
+                "error": f"{type(e).__name__}: {e}"[:200]}
 
-        import flax.linen as nn
+    cached = _AUTOTUNE_MEMO.get(key)
+    if cached is None:
+        try:
+            with open(_CACHE_FILE) as f:
+                cached = json.load(f).get(key)
+        except (OSError, ValueError):
+            cached = None
+    if cached is not None:
+        _AUTOTUNE_MEMO[key] = cached
+        for c in cached.get("enabled", ()):
+            _VALIDATED_WIDTHS[int(c)] = True
+        return dict(cached, cache_hit=True)
 
-        rng = np.random.default_rng(1)
-        detail: dict = {"autotuned": True}
-        total_xla = total_pallas = 0.0
-        shape = (batch, spatial, spatial, spatial)
+    import flax.linen as nn
 
-        @jax.jit
-        def _maxdiff(a, bb):  # full-tensor parity on device (covers every
-            return jnp.max(jnp.abs(a.astype(jnp.float32)  # z-block seam)
-                                   - bb.astype(jnp.float32)))
+    rng = np.random.default_rng(1)
+    detail: dict = {"autotuned": True, "spatial": spatial, "enabled": []}
+    saved_ms = 0.0
 
-        for c in widths:
-            x = jnp.asarray(
-                rng.standard_normal(shape + (c,), dtype=np.float32),
-                jnp.bfloat16)
+    @jax.jit
+    def _maxdiff(a, bb):
+        return jnp.max(jnp.abs(a.astype(jnp.float32)
+                               - bb.astype(jnp.float32)))
+
+    def _t(fn, xx, reps=6):
+        out = fn(xx)
+        _ = np.asarray(out[0, 0, 0, 0, 0])  # forced readback
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(xx)
+        _ = np.asarray(out[0, 0, 0, 0, 0])
+        return (time.perf_counter() - t0) / reps
+
+    for c in widths:
+        try:
+            batch = max(1, min(8, (1 << 27) // (spatial ** 3 * c)))
+            shape = (batch, spatial, spatial, spatial, c)
+            x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32),
+                            jnp.bfloat16)
             k = jnp.asarray(
                 rng.standard_normal((3, 3, 3, 1, c), dtype=np.float32))
             b = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
@@ -373,14 +407,13 @@ def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
             err = float(_maxdiff(ref, pl_fn(x)))
             scale = float(jnp.max(jnp.abs(ref)).astype(jnp.float32)) + 1e-6
             if err > 0.1 * scale:
-                detail.update(path="xla", reject=f"parity C={c} err={err:.3f}")
-                break
+                detail[f"c{c}_reject"] = f"parity err={err:.3f}"
+                continue
 
             # the backward must also compile and agree before training can
-            # be flipped onto it (publishing env=1 gates train paths too)
-            cot = jnp.asarray(
-                rng.standard_normal(shape + (c,), dtype=np.float32),
-                jnp.bfloat16)
+            # be flipped onto this width
+            cot = jnp.asarray(rng.standard_normal(shape, dtype=np.float32),
+                              jnp.bfloat16)
             gx = jax.jit(jax.grad(
                 lambda xx, _c=conv, _v=variables: jnp.sum(
                     _c.apply(_v, xx).astype(jnp.float32) * cot)))
@@ -392,53 +425,40 @@ def pick_depthwise_path(widths=(64, 128, 256), batch: int = 8,
             derr = float(_maxdiff(dref, gp(x)))
             dscale = float(jnp.max(jnp.abs(dref)).astype(jnp.float32)) + 1e-6
             if derr > 0.1 * dscale:
-                detail.update(path="xla",
-                              reject=f"grad parity C={c} err={derr:.3f}")
-                break
-
-            def _t(fn, xx, reps=6):
-                out = fn(xx)
-                _ = np.asarray(out[0, 0, 0, 0, 0])  # forced readback
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    out = fn(xx)
-                _ = np.asarray(out[0, 0, 0, 0, 0])
-                return (time.perf_counter() - t0) / reps
+                detail[f"c{c}_reject"] = f"grad parity err={derr:.3f}"
+                continue
 
             t_x, t_p = _t(xla_fn, x), _t(pl_fn, x)
             detail[f"c{c}_xla_ms"] = round(t_x * 1e3, 2)
             detail[f"c{c}_pallas_ms"] = round(t_p * 1e3, 2)
-            total_xla += t_x
-            total_pallas += t_p
-        else:
-            if total_pallas < total_xla:
-                detail["path"] = "pallas"
-                detail["saved_ms_per_step"] = round(
-                    (total_xla - total_pallas) * 1e3, 1)
-            else:
-                detail["path"] = "xla"
-    except Exception as e:  # noqa: BLE001 - selection must never fail
-        detail = {"path": "xla", "autotuned": True,
-                  "error": f"{type(e).__name__}: {e}"[:200]}
-        if key is not None:  # don't re-pay a failing compile per predictor,
-            _AUTOTUNE_MEMO[key] = detail  # but keep errors off the disk cache
-        return detail
+            if t_p < t_x:
+                detail["enabled"].append(int(c))
+                _VALIDATED_WIDTHS[int(c)] = True
+                saved_ms += (t_x - t_p) * 1e3
+        except Exception as e:  # noqa: BLE001 - per-width isolation
+            detail[f"c{c}_error"] = f"{type(e).__name__}: {e}"[:160]
+
+    detail["path"] = "pallas" if detail["enabled"] else "xla"
+    if detail["enabled"]:
+        detail["saved_ms_per_step"] = round(saved_ms, 1)
 
     _AUTOTUNE_MEMO[key] = detail
-    try:
-        os.makedirs(os.path.dirname(_CACHE_FILE), exist_ok=True)
+    # persist only fully-resolved decisions: a width that ERRORED (vs a
+    # deterministic parity rejection) may be a transient condition (HBM
+    # pressure during autotune) that should re-measure in a fresh process
+    if not any(k2.endswith("_error") for k2 in detail):
         try:
-            with open(_CACHE_FILE) as f:
-                all_entries = json.load(f)
-        except (OSError, ValueError):
-            all_entries = {}
-        all_entries[key] = detail
-        tmp = _CACHE_FILE + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(all_entries, f, indent=1)
-        os.replace(tmp, _CACHE_FILE)
-    except OSError:
-        pass
-    if set_env and detail.get("path") == "pallas":
-        os.environ["MICA_PALLAS_DW"] = "1"
+            os.makedirs(os.path.dirname(_CACHE_FILE), exist_ok=True)
+            try:
+                with open(_CACHE_FILE) as f:
+                    all_entries = json.load(f)
+            except (OSError, ValueError):
+                all_entries = {}
+            all_entries[key] = detail
+            tmp = _CACHE_FILE + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(all_entries, f, indent=1)
+            os.replace(tmp, _CACHE_FILE)
+        except OSError:
+            pass
     return detail

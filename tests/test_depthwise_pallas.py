@@ -176,14 +176,36 @@ def test_pick_depthwise_path_fallback(monkeypatch):
     monkeypatch.setattr(dp.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(dp, "_CACHE_FILE", "/nonexistent-dir/x.json")
     monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})
-    out = dp.pick_depthwise_path(widths=(8,), batch=1, spatial=8)
-    # CPU can't lower the TPU kernel -> the exception path must engage
-    assert out["path"] == "xla" and "error" in out
+    monkeypatch.setattr(dp, "_VALIDATED_WIDTHS", {})
+    out = dp.pick_depthwise_path(widths=(8,), spatial=8)
+    # CPU can't lower the TPU kernel -> the per-width error path engages
+    assert out["path"] == "xla" and out["enabled"] == []
+    assert any(k.endswith("_error") for k in out)
+    assert not dp._VALIDATED_WIDTHS
     assert "MICA_PALLAS_DW" not in __import__("os").environ
     # errors are memoized in-process (no re-pay per predictor)
     assert dp._AUTOTUNE_MEMO
-    out2 = dp.pick_depthwise_path(widths=(8,), batch=1, spatial=8)
-    assert out2["path"] == "xla"
+    out2 = dp.pick_depthwise_path(widths=(8,), spatial=8)
+    assert out2["path"] == "xla" and out2.get("cache_hit")
+
+
+def test_depthwise_active_per_width(monkeypatch):
+    """The gate binds per validated width: an enabled C=64 must not leak
+    to C=128; env '0' force-disables, '1' force-enables."""
+    from mica_tpu.ops import depthwise_pallas as dp
+
+    monkeypatch.delenv("MICA_PALLAS_DW", raising=False)
+    monkeypatch.setattr(dp.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dp, "_VALIDATED_WIDTHS", {64: True})
+    assert dp.depthwise_active(64)
+    assert not dp.depthwise_active(128)
+    monkeypatch.setenv("MICA_PALLAS_DW", "0")
+    assert not dp.depthwise_active(64)
+    monkeypatch.setenv("MICA_PALLAS_DW", "1")
+    assert dp.depthwise_active(128)
+    monkeypatch.delenv("MICA_PALLAS_DW", raising=False)
+    monkeypatch.setattr(dp.jax, "default_backend", lambda: "cpu")
+    assert not dp.depthwise_active(64)  # never off-TPU
 
 
 def test_bf16_io(rng):

@@ -27,6 +27,9 @@ def main(argv=None) -> int:
                    help="sliding-window core (reference: 48); 0 = auto")
     p.add_argument("--float32", action="store_true",
                    help="run the network in float32 instead of bfloat16")
+    p.add_argument("--npz_dir", default="",
+                   help="also write per-grid prediction .npz artifacts in "
+                        "the reference's exact layout (predict.py:353-371)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -55,6 +58,8 @@ def main(argv=None) -> int:
         base_filters=args.base_filters,
         core=args.window_core,
         dtype=jnp.float32 if args.float32 else jnp.bfloat16,
+        dump_windows_dir=args.npz_dir or None,
+        dump_format="reference" if args.npz_dir else "compact",
     )
     prepared = out["prepared_map"]
     outdir = Path(args.output_path)

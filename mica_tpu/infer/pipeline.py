@@ -125,6 +125,7 @@ def predict_map(
     core: int = 48,
     halo: int = 8,
     dump_windows_dir: Optional[str] = None,
+    dump_format: str = "compact",
 ) -> Dict[str, np.ndarray]:
     """End-to-end: map file (+ optional docked AF3 model) -> prediction volumes.
 
@@ -135,7 +136,8 @@ def predict_map(
     fixed 64/48 decomposition).  ``dump_windows_dir`` writes one
     ``.npz`` per window with the post-processed core blocks — a debugging /
     parity-triage aid mirroring the reference's per-grid artifacts
-    (predict.py:353-371)."""
+    (predict.py:353-371); ``dump_format="reference"`` reproduces the
+    reference's exact per-grid artifact layout for external consumers."""
     import jax.numpy as jnp
 
     from .engine import auto_batch_size, best_core
@@ -165,7 +167,8 @@ def predict_map(
         halo=halo,
     )
     out = predictor.predict_volume(
-        prepared.volume, encoding, dump_windows_dir=dump_windows_dir
+        prepared.volume, encoding, dump_windows_dir=dump_windows_dir,
+        dump_format=dump_format,
     )
     out["prepared_map"] = prepared
     out["timing"] = dict(predictor.timing)

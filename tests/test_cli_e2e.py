@@ -64,6 +64,7 @@ def test_cli_predict_from_reference_checkpoint(tmp_path):
     ckpt = _reference_format_checkpoint(tmp_path)
     map_path = _small_map(tmp_path)
     outdir = tmp_path / "out"
+    npzdir = tmp_path / "grids"
 
     rc = cli_predict.main([
         "-m", str(map_path), "-o", str(outdir),
@@ -72,8 +73,15 @@ def test_cli_predict_from_reference_checkpoint(tmp_path):
         "--window_core", "16",
         "--batch_size", "4",
         "--float32",
+        "--npz_dir", str(npzdir),
     ])
     assert rc in (0, None)
+
+    # --npz_dir emits the reference's per-grid artifact layout
+    grid_files = sorted(npzdir.glob("grid_i*_j*_k*_*.npz"))
+    assert grid_files, "no reference-layout npz artifacts written"
+    first = np.load(grid_files[0], allow_pickle=True)
+    assert "data" in first and "metadata" in first
 
     for key in ("backbone_probability", "carbon_alpha_probability",
                 "amino_acid_prediction"):

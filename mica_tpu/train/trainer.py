@@ -130,6 +130,19 @@ class Trainer:
         # remat: rematerialize encoder stages in the backward pass —
         # full-size training at 64-cubes does not fit HBM otherwise
         self.model = MICA(base=base_filters, dtype=dtype, remat=remat)
+        # validate + A/B the depthwise-conv formulations for this model's
+        # widths before the first trace (same per-width registry the
+        # inference engine uses; pick_depthwise_path no-ops off-TPU, under
+        # env override, and on multi-host — divergent per-host programs
+        # would deadlock the collectives).  The selection gate itself
+        # already proved grad parity for any width it enables.
+        self.dw_autotune: Dict = {"path": "xla", "autotuned": False}
+        if dtype == jnp.bfloat16:
+            from ..ops.depthwise_pallas import pick_depthwise_path
+
+            self.dw_autotune = pick_depthwise_path(
+                widths=(base_filters, 2 * base_filters, 4 * base_filters),
+                spatial=64)  # training grids are 64-cubes (SURVEY §2.2)
         self.tx = make_optimizer(lr)
         self.scheduler = PlateauScheduler(lr)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)

@@ -208,6 +208,33 @@ def test_depthwise_active_per_width(monkeypatch):
     assert not dp.depthwise_active(64)  # never off-TPU
 
 
+def test_disk_cache_repopulates_registry(monkeypatch, tmp_path):
+    """A disk-cached decision from an earlier process must re-enable its
+    widths in this process's registry (what a CLI run after bench.py
+    relies on) — without re-measuring."""
+    import json
+
+    from mica_tpu.ops import depthwise_pallas as dp
+
+    cache = tmp_path / "dw.json"
+    monkeypatch.setattr(dp, "_CACHE_FILE", str(cache))
+    monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})
+    monkeypatch.setattr(dp, "_VALIDATED_WIDTHS", {})
+    monkeypatch.setattr(dp.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("MICA_PALLAS_DW", raising=False)
+
+    kind = getattr(dp.jax.devices()[0], "device_kind", "tpu")
+    key = f"{kind}|s8|w8|{dp._code_fingerprint()}"
+    cache.write_text(json.dumps(
+        {key: {"path": "pallas", "enabled": [8], "autotuned": True,
+               "c8_xla_ms": 9.9, "c8_pallas_ms": 1.1}}))
+
+    out = dp.pick_depthwise_path(widths=(8,), spatial=8)
+    assert out.get("cache_hit") and out["path"] == "pallas"
+    assert dp._VALIDATED_WIDTHS.get(8) is True
+    assert dp.depthwise_active(8)
+
+
 def test_bf16_io(rng):
     """bf16 in/out with f32 accumulation: matches the f32 reference to
     bf16 tolerance."""

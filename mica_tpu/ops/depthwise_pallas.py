@@ -54,10 +54,13 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, out_ref):
     _, dblk, h, w, c = out_ref.shape
 
     # extended z-slab: [row below | block | row above], zero rows where
-    # the volume ends (SAME padding in z)
+    # the volume ends (SAME padding in z).  Cast to f32 HERE: Mosaic's
+    # sublane rotate only lowers for 32-bit data ("Rotate with non-32-bit
+    # data", caught by the AOT-compile test), and the accumulate is f32
+    # regardless.
     top = jnp.where(zi > 0, prev_ref[0, 0], 0.0)[None]
     bot = jnp.where(zi < nz - 1, next_ref[0, 0], 0.0)[None]
-    slab = jnp.concatenate([top, cur_ref[0], bot], axis=0)
+    slab = jnp.concatenate([top, cur_ref[0], bot], axis=0).astype(jnp.float32)
     # zero-pad H (untiled axis: a cheap row-granularity copy)
     slab = jnp.concatenate(
         [jnp.zeros((dblk + 2, 1, w, c), slab.dtype), slab,
@@ -75,12 +78,10 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, out_ref):
         for dy in range(3):
             rows = slab[dz:dz + dblk, dy:dy + h]
             t0, t1, t2 = (k_ref[dz * 9 + dy * 3 + dx] for dx in range(3))
-            acc += rows.astype(jnp.float32) * t1
-            left = jnp.where(first, 0.0,
-                             pltpu.roll(rows, 1, 2).astype(jnp.float32))
+            acc += rows * t1
+            left = jnp.where(first, 0.0, pltpu.roll(rows, 1, 2))
             acc += left * t0
-            right = jnp.where(last, 0.0,
-                              pltpu.roll(rows, w - 1, 2).astype(jnp.float32))
+            right = jnp.where(last, 0.0, pltpu.roll(rows, w - 1, 2))
             acc += right * t2
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -89,13 +90,16 @@ def _z_blocking(shape, dtype, d_block: int = 0):
     """Adaptive z-block size plus the shared BlockSpecs: the main
     (1, d_block, H, W, C) block and the two clamped single-row z-halo
     views (kernel-masked at the volume edges).  ``d_block`` 0 picks the
-    largest divisor of D keeping one input block <= ~4 MB, so the
-    double-buffered in/out blocks + the f32 accumulator stay well inside
-    v5e's VMEM at every stage width."""
+    largest divisor of D keeping one input block <= ~2 MB: Mosaic's
+    scoped-VMEM stack for the kernel measures ~30x the block size (f32
+    slab + roll/mask temporaries across the unrolled 9-tap loop, plus
+    double-buffered ins/outs — AOT-compile test), so 2 MB blocks keep
+    the stack ~60 MB against the 100 MB limit requested in
+    CompilerParams at every stage width."""
     _, d, h, w, c = shape
     if d_block <= 0:
         row_bytes = h * w * c * dtype.itemsize
-        d_block = max(1, (4 << 20) // row_bytes)
+        d_block = max(1, (2 << 20) // row_bytes)
     while d % d_block:
         d_block -= 1
     nz = d // d_block
@@ -152,6 +156,12 @@ def depthwise_conv3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the f32 slab + accumulator exceed the default 16 MB scoped
+            # limit at the production block sizes (AOT-compile test)
+            vmem_limit_bytes=100 << 20,
+        ),
     )(x, x, x, taps, bias2)
 
 
@@ -175,9 +185,11 @@ def _grad_kernel(prevx_ref, x_ref, nextx_ref, g_ref, out_ref):
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # f32 slab for the same reason as the forward kernel: Mosaic's sublane
+    # rotate needs 32-bit data, and the accumulation is f32 anyway
     top = jnp.where(zi > 0, prevx_ref[0, 0], 0.0)[None]
     bot = jnp.where(zi < nz - 1, nextx_ref[0, 0], 0.0)[None]
-    slab = jnp.concatenate([top, x_ref[0], bot], axis=0)
+    slab = jnp.concatenate([top, x_ref[0], bot], axis=0).astype(jnp.float32)
     slab = jnp.concatenate(
         [jnp.zeros((dblk + 2, 1, w, c), slab.dtype), slab,
          jnp.zeros((dblk + 2, 1, w, c), slab.dtype)], axis=1
@@ -192,7 +204,7 @@ def _grad_kernel(prevx_ref, x_ref, nextx_ref, g_ref, out_ref):
     sums[27] = jnp.sum(g, axis=(0, 1, 2))
     for dz in range(3):
         for dy in range(3):
-            rows = slab[dz:dz + dblk, dy:dy + h].astype(jnp.float32)
+            rows = slab[dz:dz + dblk, dy:dy + h]
             # dk[tap] = sum_p x[p + tap - 1] * g[p]; the dx-direction
             # shifts mirror the forward kernel's rotate-and-mask scheme
             sums[dz * 9 + dy * 3 + 1] = jnp.sum(rows * g, axis=(0, 1, 2))
@@ -229,6 +241,12 @@ def _depthwise_conv3_grads(x: jnp.ndarray, g: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((28, c), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the accumulator output is revisited across EVERY grid step:
+            # both dims must stay sequential
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 << 20,
+        ),
     )(x, x, x, g)
     return out[:27].reshape(3, 3, 3, 1, c), out[27]
 

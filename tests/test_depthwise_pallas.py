@@ -189,6 +189,39 @@ def test_pick_depthwise_path_fallback(monkeypatch):
     assert out2["path"] == "xla" and out2.get("cache_hit")
 
 
+def test_aot_compiles_for_v5e():
+    """AOT-compile the kernels for a v5e topology (libtpu compiler, no
+    device needed): catches Mosaic lowering failures and scoped-VMEM
+    overflows that interpret mode cannot see.  Two real bugs were caught
+    exactly this way: bf16 sublane rotate ("Rotate with non-32-bit
+    data") and a 120 MB VMEM stack at 4 MB blocks."""
+    jax_topologies = pytest.importorskip("jax.experimental.topologies")
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mica_tpu.ops.depthwise_pallas import (_depthwise_conv3_grads,
+                                               depthwise_conv3_pallas)
+
+    try:
+        topo = jax_topologies.get_topology_desc("v5e:2x2")
+    except Exception as e:  # no local libtpu compiler
+        pytest.skip(f"no TPU AOT topology available: {e}")
+
+    mesh = Mesh(np.array(topo.devices[:1]), ("d",))
+    sh = NamedSharding(mesh, P())
+    for c in (64, 128, 256):  # the production DualAttention widths
+        x = jax.ShapeDtypeStruct((8, 64, 64, 64, c), jnp.bfloat16,
+                                 sharding=sh)
+        k = jax.ShapeDtypeStruct((3, 3, 3, 1, c), jnp.float32, sharding=sh)
+        b = jax.ShapeDtypeStruct((c,), jnp.float32, sharding=sh)
+        jax.jit(lambda xx, kk, bb: depthwise_conv3_pallas(xx, kk, bb)).lower(
+            x, k, b).compile()
+        g = jax.ShapeDtypeStruct((8, 64, 64, 64, c), jnp.bfloat16,
+                                 sharding=sh)
+        jax.jit(lambda xx, gg: _depthwise_conv3_grads(xx, gg)).lower(
+            x, g).compile()
+
+
 def test_depthwise_active_per_width(monkeypatch):
     """The gate binds per validated width: an enabled C=64 must not leak
     to C=128; env '0' force-disables, '1' force-enables."""

@@ -17,8 +17,10 @@ executes — this is compile-only).
 """
 
 import os
+import sys
 
 os.environ.setdefault("MICA_PALLAS_DW", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 

@@ -54,13 +54,14 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, out_ref):
     _, dblk, h, w, c = out_ref.shape
 
     # extended z-slab: [row below | block | row above], zero rows where
-    # the volume ends (SAME padding in z).  Cast to f32 HERE: Mosaic's
-    # sublane rotate only lowers for 32-bit data ("Rotate with non-32-bit
-    # data", caught by the AOT-compile test), and the accumulate is f32
-    # regardless.
+    # the volume ends (SAME padding in z).  The slab stays in the input
+    # dtype; each (dz,dy) row set is cast to f32 at use — Mosaic's sublane
+    # rotate only lowers for 32-bit data ("Rotate with non-32-bit data",
+    # caught by the AOT-compile test), but a bf16 slab halves the
+    # persistent VMEM so z-blocks can be twice as deep (less halo traffic).
     top = jnp.where(zi > 0, prev_ref[0, 0], 0.0)[None]
     bot = jnp.where(zi < nz - 1, next_ref[0, 0], 0.0)[None]
-    slab = jnp.concatenate([top, cur_ref[0], bot], axis=0).astype(jnp.float32)
+    slab = jnp.concatenate([top, cur_ref[0], bot], axis=0)
     # zero-pad H (untiled axis: a cheap row-granularity copy)
     slab = jnp.concatenate(
         [jnp.zeros((dblk + 2, 1, w, c), slab.dtype), slab,
@@ -76,7 +77,7 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, out_ref):
     acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), out_ref.shape[1:])
     for dz in range(3):
         for dy in range(3):
-            rows = slab[dz:dz + dblk, dy:dy + h]
+            rows = slab[dz:dz + dblk, dy:dy + h].astype(jnp.float32)
             t0, t1, t2 = (k_ref[dz * 9 + dy * 3 + dx] for dx in range(3))
             acc += rows * t1
             left = jnp.where(first, 0.0, pltpu.roll(rows, 1, 2))
@@ -89,17 +90,21 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, out_ref):
 def _z_blocking(shape, dtype, d_block: int = 0):
     """Adaptive z-block size plus the shared BlockSpecs: the main
     (1, d_block, H, W, C) block and the two clamped single-row z-halo
-    views (kernel-masked at the volume edges).  ``d_block`` 0 picks the
-    largest divisor of D keeping one input block <= ~2 MB: Mosaic's
-    scoped-VMEM stack for the kernel measures ~30x the block size (f32
-    slab + roll/mask temporaries across the unrolled 9-tap loop, plus
-    double-buffered ins/outs — AOT-compile test), so 2 MB blocks keep
-    the stack ~60 MB against the 100 MB limit requested in
-    CompilerParams at every stage width."""
+    views (kernel-masked at the volume edges).
+
+    ``d_block`` 0 adapts to Mosaic's scoped-VMEM stack, which the
+    AOT-compile bisect shows is dominated by the f32 roll/mask
+    temporaries of the unrolled 9-tap loop (~29x the input block) — and
+    those pay 2x lane padding when C < 128 (a (.., W, C<128) f32 tile
+    pads lanes to 128).  Hence the largest divisor of D keeping one
+    input block <= 2 MB for C < 128, <= 4 MB otherwise: both land the
+    stack just under the 100 MB limit requested in CompilerParams, and
+    bigger blocks mean fewer z-halo re-reads for this HBM-bound kernel."""
     _, d, h, w, c = shape
     if d_block <= 0:
         row_bytes = h * w * c * dtype.itemsize
-        d_block = max(1, (2 << 20) // row_bytes)
+        target = (4 << 20) if c >= 128 else (2 << 20)
+        d_block = max(1, target // row_bytes)
     while d % d_block:
         d_block -= 1
     nz = d // d_block
@@ -185,11 +190,10 @@ def _grad_kernel(prevx_ref, x_ref, nextx_ref, g_ref, out_ref):
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # f32 slab for the same reason as the forward kernel: Mosaic's sublane
-    # rotate needs 32-bit data, and the accumulation is f32 anyway
+    # bf16 slab + per-use f32 cast, same tradeoff as the forward kernel
     top = jnp.where(zi > 0, prevx_ref[0, 0], 0.0)[None]
     bot = jnp.where(zi < nz - 1, nextx_ref[0, 0], 0.0)[None]
-    slab = jnp.concatenate([top, x_ref[0], bot], axis=0).astype(jnp.float32)
+    slab = jnp.concatenate([top, x_ref[0], bot], axis=0)
     slab = jnp.concatenate(
         [jnp.zeros((dblk + 2, 1, w, c), slab.dtype), slab,
          jnp.zeros((dblk + 2, 1, w, c), slab.dtype)], axis=1
@@ -204,7 +208,7 @@ def _grad_kernel(prevx_ref, x_ref, nextx_ref, g_ref, out_ref):
     sums[27] = jnp.sum(g, axis=(0, 1, 2))
     for dz in range(3):
         for dy in range(3):
-            rows = slab[dz:dz + dblk, dy:dy + h]
+            rows = slab[dz:dz + dblk, dy:dy + h].astype(jnp.float32)
             # dk[tap] = sum_p x[p + tap - 1] * g[p]; the dx-direction
             # shifts mirror the forward kernel's rotate-and-mask scheme
             sums[dz * 9 + dy * 3 + 1] = jnp.sum(rows * g, axis=(0, 1, 2))

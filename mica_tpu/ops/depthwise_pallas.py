@@ -398,14 +398,23 @@ def pick_depthwise_path(widths=(64, 128, 256), spatial: int = 64) -> dict:
         return jnp.max(jnp.abs(a.astype(jnp.float32)
                                - bb.astype(jnp.float32)))
 
-    def _t(fn, xx, reps=6):
-        out = fn(xx)
+    def _t(fn, xx, chain=8, reps=3):
+        # Chain `chain` dependent applications inside ONE jitted program:
+        # on tunneled backends (axon) a single dispatch costs ~10-16 ms,
+        # which swamps per-call timing and once made a 7.6 ms XLA conv and
+        # a 16 ms Pallas kernel look like a tie.  Amortizing the dispatch
+        # over the chain measures device time.
+        loop = jax.jit(lambda x0: jax.lax.fori_loop(
+            0, chain, lambda _, acc: fn(acc), x0))
+        out = loop(xx)
         _ = np.asarray(out[0, 0, 0, 0, 0])  # forced readback
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(reps):
-            out = fn(xx)
-        _ = np.asarray(out[0, 0, 0, 0, 0])
-        return (time.perf_counter() - t0) / reps
+            t0 = time.perf_counter()
+            out = loop(xx)
+            _ = np.asarray(out[0, 0, 0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best / chain
 
     for c in widths:
         try:
@@ -433,18 +442,22 @@ def pick_depthwise_path(widths=(64, 128, 256), spatial: int = 64) -> dict:
                 continue
 
             # the backward must also compile and agree before training can
-            # be flipped onto this width
+            # be flipped onto this width.  The cotangent is an ARGUMENT,
+            # not a closure: a closed-over device array is baked into the
+            # HLO as a constant, and on tunneled platforms (axon) the
+            # remote-compile request then exceeds the body-size limit
+            # (HTTP 413) for batch-scale tensors.
             cot = jnp.asarray(rng.standard_normal(shape, dtype=np.float32),
                               jnp.bfloat16)
             gx = jax.jit(jax.grad(
-                lambda xx, _c=conv, _v=variables: jnp.sum(
-                    _c.apply(_v, xx).astype(jnp.float32) * cot)))
+                lambda xx, ct, _c=conv, _v=variables: jnp.sum(
+                    _c.apply(_v, xx).astype(jnp.float32) * ct)))
             gp = jax.jit(jax.grad(
-                lambda xx, _k=k, _b=b: jnp.sum(
+                lambda xx, ct, _k=k, _b=b: jnp.sum(
                     depthwise_conv3_pallas_ad(xx, _k, _b).astype(jnp.float32)
-                    * cot)))
-            dref = gx(x)
-            derr = float(_maxdiff(dref, gp(x)))
+                    * ct)))
+            dref = gx(x, cot)
+            derr = float(_maxdiff(dref, gp(x, cot)))
             dscale = float(jnp.max(jnp.abs(dref)).astype(jnp.float32)) + 1e-6
             if derr > 0.1 * dscale:
                 detail[f"c{c}_reject"] = f"grad parity err={derr:.3f}"

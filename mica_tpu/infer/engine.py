@@ -764,6 +764,21 @@ class SlidingWindowPredictor:
                 max(s.data.nbytes for s in v.addressable_shards)
                 for v in vols
             )
+        # The jnp.asarray uploads above are asynchronous: without a fence
+        # the first gather of the compute loop WAITS on the host->device
+        # transfer and the upload time (~2 s for a 256-cube map + packed
+        # AF over the tunneled host's ~60 MB/s link; microseconds on a
+        # local PCIe host) is silently booked against the inference loop.
+        # Fence here so "setup" owns data movement and "inference" owns
+        # compute, matching the reference's data_loading/inference split
+        # (predict.py timing_stats).  A 1-voxel readback is required on
+        # top of block_until_ready, which can return early on tunneled
+        # platforms.
+        jax.block_until_ready(padded_map)
+        _ = np.asarray(padded_map[0, 0, 0])
+        if padded_af is not None:
+            jax.block_until_ready(padded_af)
+            _ = np.asarray(padded_af.reshape(-1)[0])
         self.timing["setup"] = time.time() - t0
 
         dump_dir = None

@@ -59,6 +59,20 @@ NUM_AA = 20
 NUM_AF_CHANNELS = 24
 
 
+def _heavy_compile_options() -> Optional[dict]:
+    """Compiler options for the heavy model step.
+
+    A hardware A/B on v5e (scripts/bench_compiler_options.py) measured the
+    conv emitter ~1.5% faster with the scoped-VMEM budget raised from the
+    16 MB default to 32 MB (60.82 -> 59.94 ms/window; 64 MB and 100 MB are
+    no better and compile 2-4x slower).  TPU-only: the flag is unknown to
+    the CPU/GPU compilers and would abort compilation there.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+
+
 def pack_af_encoding(af: np.ndarray) -> np.ndarray:
     """Pack a binary (24, X, Y, Z) AF3 encoding into uint32 bitfields.
 
@@ -348,15 +362,17 @@ class SlidingWindowPredictor:
 
             return jax.lax.fori_loop(0, n_chunks, body, acc)
 
+        opts = _heavy_compile_options()
         if self._shardings is not None:
             repl, cshard = self._shardings
             fn = jax.jit(
                 step,
                 in_shardings=(repl, cshard, cshard if with_af else None, repl),
                 out_shardings=(cshard, cshard, cshard),
+                compiler_options=opts,
             )
         else:
-            fn = jax.jit(step)
+            fn = jax.jit(step, compiler_options=opts)
         self._model_step[key] = fn
         return fn
 

@@ -189,11 +189,11 @@ def main():
             pred.predict_volume(volume, af, keep_on_device=True)
             warmup_s = time.time() - t_w
 
-            # best of two timed runs: host/tunnel jitter is a material
-            # fraction of a ~8 s measurement
+            # best of three timed runs: host/tunnel jitter is a material
+            # fraction of a ~7 s measurement
             elapsed = float("inf")
             inference_s = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 out = pred.predict_volume(volume, af, keep_on_device=True)
                 elapsed = min(elapsed, time.time() - t0)
@@ -210,7 +210,7 @@ def main():
             _stage('dense timed runs')
             dense_elapsed = float("inf")
             dense_inference = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 pred_dense.predict_volume(volume_dense, af_dense,
                                           keep_on_device=True)

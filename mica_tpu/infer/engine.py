@@ -376,7 +376,7 @@ class SlidingWindowPredictor:
         self._model_step[key] = fn
         return fn
 
-    def _build_gather(self, with_af: bool):
+    def _build_gather(self, with_af: bool, n_chunks: Optional[int] = None):
         """Cheap window gather; the jit wrapper is cached on self so repeat
         calls on the same map shape hit jax's shape-keyed trace cache
         instead of re-tracing a fresh closure every predict_volume.
@@ -385,11 +385,21 @@ class SlidingWindowPredictor:
         offset (one host->device upload per map, not one per batch),
         gathers ``chunk * batch`` windows and returns them shaped
         (chunk, batch, ...) with AF windows still bit-packed (the model
-        step unpacks)."""
-        if with_af in self._gather:
-            return self._gather[with_af]
-        w, C, bsz = self.window, self.chunk, self.batch_size
-        n = C * bsz
+        step unpacks).
+
+        ``n_chunks`` < chunk specializes the program to a tail dispatch:
+        only ``n_chunks * batch`` windows are actually sliced (each
+        ~0.8 ms of device time — the dominant cost of this program) and
+        the uncomputed chunks are zero-filled so the output shape still
+        matches the (chunk-invariant) model program.  The model's bounded
+        fori_loop never reads the zero-filled chunks."""
+        C, bsz = self.chunk, self.batch_size
+        nc = C if n_chunks is None else int(n_chunks)
+        key = (with_af, nc)
+        if key in self._gather:
+            return self._gather[key]
+        w = self.window
+        n = nc * bsz
 
         def gather(padded_map, padded_af, all_starts, ofs):
             starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (n, 3))
@@ -416,10 +426,20 @@ class SlidingWindowPredictor:
                 return win, af
 
             pairs = [one(starts[b]) for b in range(n)]
-            wins = jnp.stack([p[0] for p in pairs]).reshape(C, bsz, w, w, w)
+            # zero-fill the chunks the model will not compute INSIDE the
+            # single stack op (a post-hoc jnp.pad costs a second
+            # full-tensor copy at this platform's slow data-movement
+            # rates) so the model program — compiled once for the full
+            # chunk count — sees its usual shape
+            n_fill = (C - nc) * bsz
+            zero_w = jnp.zeros_like(pairs[0][0])
+            wins = jnp.stack(
+                [p[0] for p in pairs] + [zero_w] * n_fill
+            ).reshape(C, bsz, w, w, w)
             afs = None
             if pairs[0][1] is not None:
-                afs = jnp.stack([p[1] for p in pairs])
+                zero_a = jnp.zeros_like(pairs[0][1])
+                afs = jnp.stack([p[1] for p in pairs] + [zero_a] * n_fill)
                 afs = afs.reshape((C, bsz) + afs.shape[1:])
             return wins[..., None], afs, starts
 
@@ -432,31 +452,42 @@ class SlidingWindowPredictor:
             )
         else:
             fn = jax.jit(gather)
-        self._gather[with_af] = fn
+        self._gather[key] = fn
         return fn
 
-    def _build_scatter(self, full_in: bool = False):
+    def _build_scatter(self, full_in: bool = False,
+                       n_chunks: Optional[int] = None):
         """Cheap core scatter (replicated outputs); jit wrapper cached.
 
-        Scans over the chunk's ``chunk * batch`` cores; windows at global
-        index >= ``n_valid`` (tail padding / uncomputed batches) are
-        masked out by re-writing the existing block.
+        ``n_chunks`` specializes the scan to the dispatch's computed
+        chunks only (each update is ~1.7 ms of device time, so a 5-chunk
+        tail dispatch pays 40 updates, not 64).
+
+        Core blend writes BLINDLY — no read-modify-write masking: every
+        scanned entry was computed by the model, and the tail-padding
+        entries inside the last computed chunk are gathered REPEATS of
+        the last real window, so their outputs are bitwise duplicates
+        and overwriting with them is exact.  Average blend must keep the
+        validity weights (a duplicate may not accumulate twice).
 
         ``full_in``: the incoming blocks are FULL windows (the model step
         ran with ``full=True``, e.g. for reference-layout artifact dumps);
         in 'core' blend the core is sliced off here before the paste."""
-        if full_in in self._scatter:
-            return self._scatter[full_in]
+        C, bsz = self.chunk, self.batch_size
+        nc = C if n_chunks is None else int(n_chunks)
+        key = (full_in, nc)
+        if key in self._scatter:
+            return self._scatter[key]
         core_n, halo = self.core, self.halo
         average = self.blend == "average"
-        n = self.chunk * self.batch_size
+        n = nc * bsz
 
         def scatter(vols, cores, all_starts, ofs, n_valid):
             starts = jax.lax.dynamic_slice(all_starts, (ofs, 0), (n, 3))
             bb_c, ca_c, aa_c = cores
-            bb_c = bb_c.reshape((n,) + bb_c.shape[2:])
-            ca_c = ca_c.reshape((n,) + ca_c.shape[2:])
-            aa_c = aa_c.reshape((n,) + aa_c.shape[2:])
+            bb_c = bb_c[:nc].reshape((n,) + bb_c.shape[2:])
+            ca_c = ca_c[:nc].reshape((n,) + ca_c.shape[2:])
+            aa_c = aa_c[:nc].reshape((n,) + aa_c.shape[2:])
             if full_in and not average:
                 c = slice(halo, halo + core_n)
                 bb_c = bb_c[:, c, c, c]
@@ -466,14 +497,13 @@ class SlidingWindowPredictor:
             def body(vols, xs):
                 s, bb1, ca1, aa1, i = xs
                 bb_v, ca_v, aa_v, cnt_v = vols
-                valid = i < n_valid
                 pos = (s[0], s[1], s[2])
                 if average:
                     # accumulate full windows at (start - halo) in the
                     # halo-padded accumulator frame (see predict_volume).
                     # Invalid entries (tail padding — repeats of the last
-                    # window, or uncomputed zero batches) get weight 0.
-                    wgt = valid.astype(jnp.float32)
+                    # window) get weight 0.
+                    wgt = (i < n_valid).astype(jnp.float32)
                     blk = jax.lax.dynamic_slice(bb_v, pos, bb1.shape) + wgt * bb1
                     bb_v = jax.lax.dynamic_update_slice(bb_v, blk, pos)
                     blk = jax.lax.dynamic_slice(ca_v, pos, ca1.shape) + wgt * ca1
@@ -483,15 +513,9 @@ class SlidingWindowPredictor:
                     blk = jax.lax.dynamic_slice(cnt_v, pos, bb1.shape) + wgt
                     cnt_v = jax.lax.dynamic_update_slice(cnt_v, blk, pos)
                 else:
-                    old = jax.lax.dynamic_slice(bb_v, pos, bb1.shape)
-                    bb_v = jax.lax.dynamic_update_slice(
-                        bb_v, jnp.where(valid, bb1, old), pos)
-                    old = jax.lax.dynamic_slice(ca_v, pos, ca1.shape)
-                    ca_v = jax.lax.dynamic_update_slice(
-                        ca_v, jnp.where(valid, ca1, old), pos)
-                    old = jax.lax.dynamic_slice(aa_v, pos + (0,), aa1.shape)
-                    aa_v = jax.lax.dynamic_update_slice(
-                        aa_v, jnp.where(valid, aa1, old), pos + (0,))
+                    bb_v = jax.lax.dynamic_update_slice(bb_v, bb1, pos)
+                    ca_v = jax.lax.dynamic_update_slice(ca_v, ca1, pos)
+                    aa_v = jax.lax.dynamic_update_slice(aa_v, aa1, pos + (0,))
                 return (bb_v, ca_v, aa_v, cnt_v), None
 
             xs = (starts, bb_c, ca_c, aa_c, jnp.arange(n, dtype=jnp.int32))
@@ -508,7 +532,7 @@ class SlidingWindowPredictor:
             )
         else:
             fn = jax.jit(scatter, donate_argnums=(0,))
-        self._scatter[full_in] = fn
+        self._scatter[key] = fn
         return fn
 
     def _build_scatter_sharded(self, x_local: int):
@@ -795,6 +819,11 @@ class SlidingWindowPredictor:
         if padded_af is not None:
             jax.block_until_ready(padded_af)
             _ = np.asarray(padded_af.reshape(-1)[0])
+        # window-start table upload is data movement too (a ~16 ms RPC on
+        # the tunneled host) — fence it into setup with the volumes
+        starts_dev = jnp.asarray(starts) if starts.shape[0] else None
+        if starts_dev is not None:
+            jax.block_until_ready(starts_dev)
         self.timing["setup"] = time.time() - t0
 
         dump_dir = None
@@ -842,13 +871,22 @@ class SlidingWindowPredictor:
                              data=data, metadata=meta)
 
         t1 = time.time()
-        starts_dev = jnp.asarray(starts) if starts.shape[0] else None
         for ofs in range(0, starts.shape[0], nwin):
             n_valid = max(0, min(nwin, n_compute - ofs))
             n_chunks = -(-n_valid // bsz)
-            wins, afs, batch = gather(padded_map, padded_af, starts_dev, ofs)
+            if self.shard_volumes:
+                # the shard_map scatter is compiled for full chunks only
+                g = gather
+                s = scatter
+            else:
+                # tail dispatches use length-specialized gather/scatter
+                # programs: only the computed chunks are sliced/pasted
+                g = self._build_gather(with_af, n_chunks)
+                s = self._build_scatter(dump_reference and not average,
+                                        n_chunks)
+            wins, afs, batch = g(padded_map, padded_af, starts_dev, ofs)
             cores = model_step(self.params, wins, afs, n_chunks)
-            vols = scatter(vols, cores, batch, 0, n_valid)
+            vols = s(vols, cores, batch, 0, n_valid)
             if dump_dir is not None:
                 dump(cores, starts[ofs : ofs + nwin], n_valid)
 

@@ -17,6 +17,11 @@ OPTION_SETS = [
     ("vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("vmem32", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
     ("vmem100", {"xla_tpu_scoped_vmem_limit_kib": "102400"}),
+    # finer sweep around the 32 MB winner (the engine default since the
+    # first four rows were measured)
+    ("vmem24", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
+    ("vmem40", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
+    ("vmem48", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
 ]
 
 
@@ -24,9 +29,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mica_tpu.infer import engine as engine_mod
     from mica_tpu.infer.engine import SlidingWindowPredictor
     from mica_tpu.models.init import init_params_fast
     from mica_tpu.models.mica import MICA
+
+    # the engine now sets the vmem32 option itself; neutralize it so the
+    # OUTER jit below owns the compiler options (nested options are
+    # rejected by jax)
+    engine_mod._heavy_compile_options = lambda: None
 
     rng = np.random.default_rng(0)
     model = MICA(base=64, dtype=jnp.bfloat16)

@@ -355,3 +355,27 @@ def test_engine_alternate_geometry_matches_oracle(params, rng):
     # differently, and f32 reduction reassociation through the InstanceNorm
     # stats drifts a handful of probabilities by ~1.5e-4 at this geometry
     np.testing.assert_allclose(out["backbone_probability"], bb_v, atol=5e-4)
+
+
+def test_engine_partial_chunk_padding_blind_writes(params, rng):
+    """n_valid not a multiple of batch: the tail chunk carries padding
+    windows (gathered repeats of the last real start).  The core-blend
+    scatter writes those blindly — exactness relies on duplicates being
+    bitwise identical outputs, which this asserts end to end."""
+    shape = (30, 24, 13)  # 3x2x2 = 12 windows, all nonzero
+    vol = rng.random(shape).astype(np.float32) + 0.1
+    af = (rng.random((24,) + shape) < 0.02).astype(np.float32)
+
+    pred = SlidingWindowPredictor(
+        params, batch_size=5, dtype=jnp.float32, base_filters=BASE,
+        core=CORE, halo=HALO,
+    )  # 12 valid windows -> 3 chunks of 5 with 3 padding repeats
+    out = pred.predict_volume(vol, af)
+    assert pred.timing["n_empty"] == 0
+
+    bb_v, ca_v, aa_v = _reference_prediction(params, vol, af)
+    np.testing.assert_allclose(out["backbone_probability"], bb_v, atol=1e-4)
+    np.testing.assert_allclose(out["carbon_alpha_probability"], ca_v,
+                               atol=1e-4)
+    np.testing.assert_allclose(out["amino_acid_probability"], aa_v,
+                               atol=1e-4)

@@ -248,6 +248,10 @@ class SlidingWindowPredictor:
         batches."""
         if blend not in ("core", "average"):
             raise ValueError(f"unknown blend mode {blend!r}")
+        from ..utils.jaxcache import ensure_compilation_cache
+
+        ensure_compilation_cache()  # model-step compiles are ~60 s; serve
+        # repeats from the on-disk cache across processes
         self.blend = blend
         self.shard_volumes = bool(shard_volumes)
         self.model = MICA(base=base_filters, dtype=dtype)

@@ -59,6 +59,10 @@ def prepare_map(
     create_grids.py:119-122, fused into one device computation.
     """
     t0 = time.time()
+    from ..utils.jaxcache import ensure_compilation_cache
+
+    ensure_compilation_cache()  # resample/normalize are shape-specialized
+    # device programs; repeats of a map shape come from the disk cache
     vol = mrc_io.read_mrc(map_path)
     xyz, offset = vol.to_xyz()
     # spacing per canonical axis (crystal X/Y/Z)

@@ -129,6 +129,9 @@ class Trainer:
     ):
         # remat: rematerialize encoder stages in the backward pass —
         # full-size training at 64-cubes does not fit HBM otherwise
+        from ..utils.jaxcache import ensure_compilation_cache
+
+        ensure_compilation_cache()
         self.model = MICA(base=base_filters, dtype=dtype, remat=remat)
         # validate + A/B the depthwise-conv formulations for this model's
         # widths before the first trace (same per-width registry the

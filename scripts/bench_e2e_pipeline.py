@@ -30,6 +30,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 
 def main():
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(message)s",
+    )
     from mica_tpu.io import mrc as mrc_io
     from mica_tpu.io import pdb as pdb_io
     from mica_tpu.trace.solver import ModelingConfig, Solver
@@ -65,7 +71,38 @@ def main():
     t_total = time.time()
     solver = Solver(cfg)
     assert solver.check_seq() == "success"
-    solver.nn_process()           # real map prep + TPU inference
+
+    # nn stages by hand: with random weights the full nn_process would
+    # extract ~100k garbage candidates (4M voxels above threshold) and
+    # its timing would measure junk processing, not the pipeline.  Time
+    # map prep + sliding-window inference — the real device work — and
+    # feed the modeling stages synthetic perfect volumes instead.
+    from mica_tpu.infer.engine import SlidingWindowPredictor
+    from mica_tpu.infer.pipeline import build_af3_encoding, prepare_map
+
+    t0 = time.time()
+    solver.prepared = prepare_map(cfg.map_path)
+    encoding = build_af3_encoding(solver.prepared, cfg.docked_model_path)
+    solver.time_cost["getData"] = time.time() - t0
+
+    import jax.numpy as jnp
+
+    from mica_tpu.models.init import init_params_fast
+    from mica_tpu.models.mica import MICA
+
+    params = init_params_fast(
+        MICA(base=cfg.base_filters),
+        (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))),
+    )
+    t0 = time.time()
+    predictor = SlidingWindowPredictor(
+        params, batch_size=cfg.batch_size,
+        base_filters=cfg.base_filters,
+    )
+    out = predictor.predict_volume(solver.prepared.volume, encoding,
+                                   keep_on_device=True)
+    del out
+    solver.time_cost["nnPred"] = time.time() - t0
     print(f"[e2e] nn stages done: volume {solver.prepared.volume.shape}",
           flush=True)
 

@@ -761,8 +761,14 @@ class SlidingWindowPredictor:
         nwin = C * bsz
         n_pad = (-n_compute) % nwin
         if n_pad:
-            pad_src = starts[-1:] if n_compute else np.zeros((1, 3), np.int32)
-            starts = np.concatenate([starts, np.repeat(pad_src, n_pad, axis=0)])
+            # INVARIANT the blind-write core scatter depends on: padding
+            # entries MUST repeat the last real start, so a computed
+            # padding window's output is a bitwise duplicate and blind
+            # overwrite is exact (_build_scatter).  n_compute > 0 here
+            # (n_pad is 0 when n_compute is 0).
+            assert n_compute > 0
+            starts = np.concatenate(
+                [starts, np.repeat(starts[-1:], n_pad, axis=0)])
 
         average = self.blend == "average"
         acc_shape = tuple(np_padded.shape) if average else padded_shape

@@ -168,14 +168,12 @@ def resample_to_voxel_size(
     """
     factors = [float(v) / float(target_voxel_size) for v in voxel_size]
     out_shape = zoom_output_shape(volume.shape, factors)
-    if tuple(out_shape) == tuple(volume.shape) and all(
-        f == 1.0 for f in factors
-    ):
-        # identity fast path: the map is already at the target spacing.
-        # scipy's zoom(order=3, factor=1.0) evaluates the spline at its
-        # knots, which is the identity up to ~1e-7 float noise; returning
-        # the input skips a full shape-specialized prefilter+interp
-        # compile + execution per map (tens of seconds on a cold cache)
-        # and is the exact answer.
+    if tuple(out_shape) == tuple(volume.shape):
+        # identity fast path: the map is already at the target spacing
+        # on every axis.  zoom_cubic would pass each unchanged axis
+        # through anyway (its per-axis skip), so this only avoids the
+        # call; scipy's zoom at factor 1.0 evaluates the spline at its
+        # knots — the identity up to ~1e-7 float noise — so returning
+        # the input is the exact answer.
         return volume
     return zoom_cubic(volume, out_shape)

@@ -7,11 +7,13 @@ model time.  Measured on v5e (scripts/bench_gather_scatter.py,
 scripts/bench_scatter_variants.py), the XLA formulations cost ~51 ms
 (gather: 128 unrolled ``dynamic_slice``s) and ~106-123 ms (scatter: a
 64-step ``lax.scan`` of read-modify-write ``dynamic_update_slice``s)
-per 64-window dispatch — ~0.6 s per dense 256-cube map, 40-100x above
-the HBM traffic floor.  Every XLA-level reformulation measured (staged
-contiguous slicing, block-layout staging, fused 22-channel updates,
-bitcast-packed volumes) was flat or worse: the cost is XLA's
-dynamic-slice lowering, not burst granularity.
+per 64-window dispatch as fenced micro-timings.  (Later diagnosis
+showed those fenced numbers carry a ~46 ms tunnel round-trip floor —
+PERFORMANCE.md "final hardware A/Bs" — so the true device cost is the
+smaller loop-minus-model-chain residual, ~0.15-0.3 s per dense map.)
+Every XLA-level reformulation measured (staged contiguous slicing,
+block-layout staging, fused 22-channel updates, bitcast-packed
+volumes) was flat or worse.
 
 These kernels instead drive the DMA engines directly: window starts are
 scalar-prefetched into SMEM, and each grid step issues async HBM->HBM
@@ -76,17 +78,17 @@ def gather_windows_dma(padded_map, padded_af, starts, *, window: int,
         cp.wait()
 
     out_shape = [jax.ShapeDtypeStruct((n, w, w, w), padded_map.dtype)]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if with_af:
         out_shape.append(jax.ShapeDtypeStruct((n, w, w, w),
                                               padded_af.dtype))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(out_shape),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
         scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
     )
     fn = pl.pallas_call(kernel, grid_spec=grid_spec,
@@ -142,8 +144,8 @@ def scatter_cores_dma(vols, cores, starts, n_valid, *, core: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         scratch_shapes=[pltpu.SemaphoreType.DMA((3,))],
     )
     # inputs (after the 2 scalar-prefetch args): bb_c ca_c aa_c bb_v ca_v

@@ -19,8 +19,11 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mica_tpu",
-                            "jax_cache")
+# Same directory bench.py and tests/conftest.py configure explicitly:
+# one shared on-disk cache means a benchmark run's ~60 s model-step
+# compile is served to subsequent CLI runs (and vice versa).
+_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                            "jax_comp_cache")
 
 
 def ensure_compilation_cache() -> None:

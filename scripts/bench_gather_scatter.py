@@ -140,8 +140,12 @@ def main():
                 aa_v, jnp.where(valid, aa1, old), pos + (0,))
             return (bb_v, ca_v, aa_v), None
 
-        xs = (jnp.asarray(starts_np), bb_c, ca_c, aa_c,
-              jnp.arange(n, dtype=jnp.int32))
+        # NOTE: scan over the runtime `st` argument (an earlier revision
+        # scanned a trace-time-constant copy of starts_np, which let XLA
+        # specialize the update offsets statically — not what the engine
+        # program does; the variants harness confirmed the timing is the
+        # same either way, ~122 ms)
+        xs = (st, bb_c, ca_c, aa_c, jnp.arange(n, dtype=jnp.int32))
         vols, _ = lax.scan(body, vols, xs)
         return vols
 

@@ -60,10 +60,13 @@ def test_scatter_cores_dma_skips_tail(rng):
     out = scatter_cores_dma(vols, cores, jnp.asarray(starts_np), 4,
                             core=c, interpret=True)
     ref_bb = np.zeros((P, P, P), np.float32)
+    ref_ca = np.zeros((P, P, P), np.float32)
     ref_aa = np.zeros((P, P, P, A), np.float32)
     for i in range(4):
         x, y, z = starts_np[i]
         ref_bb[x:x + c, y:y + c, z:z + c] = np.asarray(cores[0])[i]
+        ref_ca[x:x + c, y:y + c, z:z + c] = np.asarray(cores[1])[i]
         ref_aa[x:x + c, y:y + c, z:z + c] = np.asarray(cores[2])[i]
     np.testing.assert_array_equal(np.asarray(out[0]), ref_bb)
+    np.testing.assert_array_equal(np.asarray(out[1]), ref_ca)
     np.testing.assert_array_equal(np.asarray(out[2]), ref_aa)

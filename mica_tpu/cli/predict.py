@@ -16,9 +16,15 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
     p = argparse.ArgumentParser(description="MICA-TPU sliding-window prediction")
-    p.add_argument("-m", "--map_path", required=True)
+    p.add_argument("-m", "--map_path", required=True, nargs="+",
+                   help="one or more density maps; with several, the "
+                        "compiled predictor is reused across maps (the "
+                        "heavy XLA compile is map-size independent) and "
+                        "each map's volumes land in "
+                        "<output_path>/<map_stem>/")
     p.add_argument("-o", "--output_path", required=True)
-    p.add_argument("--docked_model", default="")
+    p.add_argument("--docked_model", default="",
+                   help="docked AF3 model (single-map mode only)")
     p.add_argument("--model_checkpoint", default="")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--base_filters", type=int, default=64,
@@ -51,32 +57,47 @@ def main(argv=None) -> int:
             (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))),
         )
 
-    out = predict_map(
-        args.map_path, params,
-        docked_pdb_path=args.docked_model or None,
-        batch_size=args.batch_size,
-        base_filters=args.base_filters,
-        core=args.window_core,
-        dtype=jnp.float32 if args.float32 else jnp.bfloat16,
-        dump_windows_dir=args.npz_dir or None,
-        dump_format="reference" if args.npz_dir else "compact",
-    )
-    prepared = out["prepared_map"]
-    outdir = Path(args.output_path)
-    outdir.mkdir(parents=True, exist_ok=True)
-    for key in ("backbone_probability", "carbon_alpha_probability",
-                "amino_acid_prediction"):
-        vol = np.asarray(out[key], np.float32)
-        mrc_io.write_mrc(
-            outdir / f"{key}.mrc", np.transpose(vol, (2, 1, 0)),
-            voxel_size=prepared.voxel_size, origin=tuple(prepared.origin),
-            nstart=tuple(int(v) for v in prepared.offset),
+    maps = list(args.map_path)
+    if len(maps) > 1 and args.docked_model:
+        p.error("--docked_model applies to a single map; run maps with "
+                "docked models individually")
+    if len(maps) > 1 and args.npz_dir:
+        p.error("--npz_dir with multiple maps would interleave their "
+                "per-grid artifacts in one directory; run them "
+                "individually")
+
+    predictor = None
+    for map_path in maps:
+        out = predict_map(
+            map_path, params,
+            docked_pdb_path=args.docked_model or None,
+            batch_size=args.batch_size,
+            base_filters=args.base_filters,
+            core=args.window_core,
+            dtype=jnp.float32 if args.float32 else jnp.bfloat16,
+            dump_windows_dir=args.npz_dir or None,
+            dump_format="reference" if args.npz_dir else "compact",
+            predictor=predictor,
         )
-    np.savez_compressed(
-        outdir / "amino_acid_probability.npz",
-        data=out["amino_acid_probability"].astype(np.float16),
-    )
-    logging.info("timing: %s", out["timing"])
+        predictor = out["predictor"]  # reuse compiled programs across maps
+        prepared = out["prepared_map"]
+        outdir = Path(args.output_path)
+        if len(maps) > 1:
+            outdir = outdir / Path(map_path).stem
+        outdir.mkdir(parents=True, exist_ok=True)
+        for key in ("backbone_probability", "carbon_alpha_probability",
+                    "amino_acid_prediction"):
+            vol = np.asarray(out[key], np.float32)
+            mrc_io.write_mrc(
+                outdir / f"{key}.mrc", np.transpose(vol, (2, 1, 0)),
+                voxel_size=prepared.voxel_size, origin=tuple(prepared.origin),
+                nstart=tuple(int(v) for v in prepared.offset),
+            )
+        np.savez_compressed(
+            outdir / "amino_acid_probability.npz",
+            data=out["amino_acid_probability"].astype(np.float16),
+        )
+        logging.info("%s timing: %s", Path(map_path).name, out["timing"])
     return 0
 
 

@@ -130,8 +130,14 @@ def predict_map(
     halo: int = 8,
     dump_windows_dir: Optional[str] = None,
     dump_format: str = "compact",
+    predictor=None,
 ) -> Dict[str, np.ndarray]:
     """End-to-end: map file (+ optional docked AF3 model) -> prediction volumes.
+
+    ``predictor`` reuses an existing :class:`SlidingWindowPredictor`
+    (its compiled model program is map-size independent), so a batch of
+    maps pays the heavy compile once; the returned dict carries the
+    predictor under ``"predictor"`` for exactly that reuse.
 
     ``batch_size=0`` derives the batch from device memory (the reference's
     memory heuristic, predict.py:149-174).  ``core=0`` picks the window
@@ -147,10 +153,17 @@ def predict_map(
     from .engine import auto_batch_size, best_core
 
     prepared = prepare_map(map_path)
-    batch_size = batch_size or auto_batch_size()
-    if core == 0:
-        core, batch_size = best_core(prepared.volume.shape, halo,
-                                     max_batch=batch_size)
+    if predictor is not None:
+        # a reused predictor's geometry is fixed (its compiled programs
+        # depend on core/halo/batch); per-map auto-geometry would silently
+        # diverge from it
+        core, halo = predictor.core, predictor.halo
+        batch_size = predictor.batch_size
+    else:
+        batch_size = batch_size or auto_batch_size()
+        if core == 0:
+            core, batch_size = best_core(prepared.volume.shape, halo,
+                                         max_batch=batch_size)
     encoding = None
     if docked_pdb_path is not None:
         # an explicitly requested docked model must exist: silently
@@ -161,19 +174,21 @@ def predict_map(
                 f"docked AF3 model not found: {docked_pdb_path}")
         encoding = build_af3_encoding(prepared, docked_pdb_path)
 
-    predictor = SlidingWindowPredictor(
-        params,
-        batch_size=batch_size,
-        dtype=dtype if dtype is not None else jnp.bfloat16,
-        mesh=mesh,
-        base_filters=base_filters,
-        core=core,
-        halo=halo,
-    )
+    if predictor is None:
+        predictor = SlidingWindowPredictor(
+            params,
+            batch_size=batch_size,
+            dtype=dtype if dtype is not None else jnp.bfloat16,
+            mesh=mesh,
+            base_filters=base_filters,
+            core=core,
+            halo=halo,
+        )
     out = predictor.predict_volume(
         prepared.volume, encoding, dump_windows_dir=dump_windows_dir,
         dump_format=dump_format,
     )
     out["prepared_map"] = prepared
+    out["predictor"] = predictor
     out["timing"] = dict(predictor.timing)
     return out

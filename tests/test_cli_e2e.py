@@ -114,3 +114,44 @@ def test_load_network_params_strips_module_prefix(tmp_path):
     assert set(sd2) == set(ref)
     for k in ref:
         np.testing.assert_array_equal(np.asarray(sd2[k]), np.asarray(ref[k]))
+
+
+def test_cli_predict_multi_map_reuses_predictor(tmp_path):
+    """Batch mode: several maps in one invocation share the compiled
+    predictor; each map's volumes land in <out>/<map_stem>/ and match a
+    single-map run bit for bit."""
+    from mica_tpu.cli import predict as cli_predict
+
+    ckpt = _reference_format_checkpoint(tmp_path)
+    rng = np.random.default_rng(9)
+    paths = []
+    for i, shape in enumerate([(24, 20, 18), (20, 24, 22)]):
+        vol = rng.random(shape, dtype=np.float32)
+        path = tmp_path / f"map{i}.mrc"
+        mrc_io.write_mrc(path, np.transpose(vol, (2, 1, 0)),
+                         voxel_size=(1.0, 1.0, 1.0))
+        paths.append(path)
+
+    out_multi = tmp_path / "multi"
+    rc = cli_predict.main([
+        "-m", str(paths[0]), str(paths[1]), "-o", str(out_multi),
+        "--model_checkpoint", str(ckpt),
+        "--base_filters", str(BASE),
+        "--window_core", "16", "--batch_size", "4", "--float32",
+    ])
+    assert rc in (0, None)
+
+    out_single = tmp_path / "single1"
+    rc = cli_predict.main([
+        "-m", str(paths[1]), "-o", str(out_single),
+        "--model_checkpoint", str(ckpt),
+        "--base_filters", str(BASE),
+        "--window_core", "16", "--batch_size", "4", "--float32",
+    ])
+    assert rc in (0, None)
+
+    for key in ("backbone_probability", "carbon_alpha_probability"):
+        multi = mrc_io.read_mrc(out_multi / "map1" / f"{key}.mrc").data
+        single = mrc_io.read_mrc(out_single / f"{key}.mrc").data
+        np.testing.assert_array_equal(multi, single, err_msg=key)
+    assert (out_multi / "map0" / "backbone_probability.mrc").exists()

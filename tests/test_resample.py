@@ -35,3 +35,38 @@ def test_compilation_cache_helper_respects_existing():
     before = jax.config.jax_compilation_cache_dir  # conftest sets one
     ensure_compilation_cache()
     assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_compilation_cache_helper_sets_default(monkeypatch):
+    import os
+
+    import jax
+
+    from mica_tpu.utils import jaxcache
+
+    before = jax.config.jax_compilation_cache_dir
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.delenv("MICA_JAX_CACHE_DIR", raising=False)
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jaxcache.ensure_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == jaxcache._DEFAULT_DIR
+        assert os.path.isdir(jaxcache._DEFAULT_DIR)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_compilation_cache_helper_env_disable(monkeypatch):
+    import jax
+
+    from mica_tpu.utils import jaxcache
+
+    before = jax.config.jax_compilation_cache_dir
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.setenv("MICA_JAX_CACHE_DIR", "")
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jaxcache.ensure_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

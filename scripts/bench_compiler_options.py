@@ -24,6 +24,40 @@ OPTION_SETS = [
     ("vmem48", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
 ]
 
+# Extended battery (run with `extended` argv): fusion/emitter/scheduler/
+# autotune knobs found in the baked libtpu's flag table, each composed
+# with the measured vmem32 winner.  Unknown-flag / compile failures are
+# per-set non-fatal.
+_V32 = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+EXTENDED_SETS = [("vmem32", dict(_V32))] + [
+    (name, {**_V32, flag: val})
+    for name, flag, val in [
+        ("autotune_fusions", "xla_tpu_autotune_fusions", "true"),
+        ("autotune_windows", "xla_tpu_autotune_windows", "true"),
+        ("autotune_layouts", "xla_tpu_autotune_layouts", "true"),
+        ("autotune_dots", "xla_tpu_autotune_dots", "true"),
+        ("exp_fusion_cost", "xla_tpu_enable_experimental_fusion_cost_model",
+         "true"),
+        ("bundle_cost", "xla_tpu_use_bundle_aware_cost_model_for_fusions",
+         "true"),
+        ("scavenge_vmem", "xla_tpu_scavenge_vmem_for_fusions", "true"),
+        ("aggr_loop_fusion", "xla_tpu_enable_aggressive_loop_fusion_layout_opt",
+         "true"),
+        ("multi_out_fusion", "xla_jf_enable_multi_output_fusion", "true"),
+        ("adv_multi_out", "xla_jf_enable_advanced_multi_output_fusion",
+         "true"),
+        ("pincer_short", "xla_tpu_enable_pincer_short_fusion_emitter", "true"),
+        ("bf16_slp", "xla_tpu_enable_bf16_slp_vectorizer", "true"),
+        ("pipelined_unroll", "xla_tpu_enable_pipelined_loop_unrolling", "true"),
+        ("lp_llo_sched", "xla_tpu_consider_lp_llo_scheduler", "true"),
+        ("conv_pad_infeat", "xla_jf_conv_prefers_padding_input_feature",
+         "true"),
+        ("rw_as_conv", "xla_tpu_handle_reduce_window_as_convolution", "true"),
+        ("accum_reassoc", "xla_jf_accumulation_reassociation", "true"),
+        ("conv_vmem64", "xla_jf_conv_min_limit_vmem_mib", "64"),
+    ]
+]
+
 
 def main():
     import jax
@@ -61,7 +95,10 @@ def main():
     # jit with options (jit-of-jit inlines)
     step = pred._build_model_step(True, full=False)
 
-    for name, opts in OPTION_SETS:
+    import sys
+
+    sets = EXTENDED_SETS if "extended" in sys.argv[1:] else OPTION_SETS
+    for name, opts in sets:
         try:
             t0 = time.time()
             compiled = (

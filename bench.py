@@ -112,6 +112,7 @@ def _train_one(batch: int = 8, iters: int = 3):
     return {
         "batch": batch,
         "remat": True,
+        "remat_scope": trainer.model.remat_scope,
         "step_s": round(dt, 3),
         "samples_per_s_chip": round(batch / dt, 2),
         "model_tflops_per_s": round(3 * fwd_tflop_per_sample * batch / dt, 1),

@@ -41,6 +41,18 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _train_fast_convs() -> bool:
+    """Use the lane-packed small-Cout conv formulation in the TRAINING
+    forward too (default on; ``MICA_TRAIN_PACKED=0`` disables).
+
+    Measured on v5e (scripts/bench_train_remat.py, batch 8, remat
+    "blocks"): 2.410 s/step packed vs 2.469 direct — the packed forward
+    win survives its strided-conv VJP.  ``maybe_packed_conv`` itself
+    no-ops off-TPU, so CPU tests and the f32 parity suites keep XLA's
+    direct-conv reduction order."""
+    return os.environ.get("MICA_TRAIN_PACKED", "1") != "0"
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm over spatial dims, no affine (torch InstanceNorm3d default).
 
@@ -236,7 +248,7 @@ class MultiScaleInput(nn.Module):
 
         if train and dropout_rate > 0.0:
             af_features = drop(af_features, dropout_rate, train)
-        x_feat = Conv(self.base, 3, dtype=self.dtype, fast=not train,
+        x_feat = Conv(self.base, 3, dtype=self.dtype, fast=not train or _train_fast_convs(),
                       name="feat_conv")(af_features)
         g = Conv(self.base // 4, 1, dtype=self.dtype, name="feat_gate0")(x_feat)
         g = nn.relu(g)
@@ -317,7 +329,7 @@ class ResidualDenseBlock(nn.Module):
         drop = ChannelDropout()
 
         def block(inp, features, name):
-            h = Conv(features, 3, dtype=self.dtype, fast=not train,
+            h = Conv(features, 3, dtype=self.dtype, fast=not train or _train_fast_convs(),
                      name=name)(inp)
             h = instance_norm(h)
             h = nn.relu(h)
@@ -387,7 +399,7 @@ class FPN(nn.Module):
             k, b = _NamedConvParams((3, 3, 3, self.base, self.base),
                                     self.base, name=f"smooth{i}")()
             s = conv_same(p, k * w[i], b * w[i], dtype=self.dtype,
-                          fast=not train)
+                          fast=not train or _train_fast_convs())
             s = drop(s, dropout_rate * 0.5, train)
             smoothed.append(s)
 
@@ -473,7 +485,7 @@ class TaskHeadRest(nn.Module):
         dt = self.dtype
         x = nn.relu(instance_norm(h1))
         x = conv_same(x, p["conv2"][0], p["conv2"][1], dtype=dt,
-                      fast=not train)
+                      fast=not train or _train_fast_convs())
         x = nn.relu(instance_norm(x))
 
         x = ChannelDropout()(x, dropout_rate, train)
@@ -538,7 +550,7 @@ class FusedHeads(nn.Module):
         h_ca = (
             big[..., 64:128]
             + conv_same(bb_f, p_ca["conv1"][0][:, :, :, fpn_ch:],
-                        dtype=self.dtype, fast=not train)
+                        dtype=self.dtype, fast=not train or _train_fast_convs())
             + p_ca["conv1"][1].astype(big.dtype)
         )
         ca = rest_ca(h_ca, p_ca, dropout_rate, train)
@@ -548,7 +560,7 @@ class FusedHeads(nn.Module):
             + conv_same(
                 jnp.concatenate([bb_f, ca.astype(fpn.dtype)], axis=-1),
                 p_aa["conv1"][0][:, :, :, fpn_ch:], dtype=self.dtype,
-                fast=not train,
+                fast=not train or _train_fast_convs(),
             )
             + p_aa["conv1"][1].astype(big.dtype)
         )
@@ -570,6 +582,11 @@ class MICA(nn.Module):
     base: int = 64
     dtype: Optional[Dtype] = None
     remat: bool = False  # rematerialize encoder stages (training memory)
+    # remat granularity: "both" nests stage-level AND block-level remat
+    # (lowest memory: the backward recomputes each stage forward twice);
+    # "stages" / "blocks" keep a single remat layer — ~1 forward less
+    # recompute per step when the working set fits HBM.
+    remat_scope: str = "both"
 
     @nn.compact
     def __call__(self, exp_map, af_features=None, *, dropout_rate: float = 0.0,
@@ -583,14 +600,16 @@ class MICA(nn.Module):
             exp_map, af_features, dropout_rate, train
         )
 
+        remat_stages = self.remat and self.remat_scope in ("both", "stages")
+        remat_blocks = self.remat and self.remat_scope in ("both", "blocks")
         stage_cls = (
-            nn.remat(EncoderStage, static_argnums=(2, 3)) if self.remat
+            nn.remat(EncoderStage, static_argnums=(2, 3)) if remat_stages
             else EncoderStage
         )
         features = []
         ch = self.base
         for i in range(3):
-            x = stage_cls(ch, ch * 2, dtype=self.dtype, remat=self.remat,
+            x = stage_cls(ch, ch * 2, dtype=self.dtype, remat=remat_blocks,
                           name=f"encoder{i}")(
                 x, dropout_rate, train
             )

@@ -126,13 +126,22 @@ class Trainer:
         use_augmentation: bool = True,
         seed: int = 2022,
         remat: bool = True,
+        remat_scope: str = "blocks",
     ):
-        # remat: rematerialize encoder stages in the backward pass —
-        # full-size training at 64-cubes does not fit HBM otherwise
+        # remat: rematerialize in the backward pass — full-size training
+        # at 64-cubes does not fit HBM otherwise (no-remat dies in the XLA
+        # compiler).  remat_scope picks the granularity: "blocks" (inner
+        # RDB/attention/heads only, stage boundaries saved) measured
+        # 2.47 s/step at batch 8 on v5e vs 2.66 for the round-2 "both"
+        # (nested stage+block remat recomputes each stage forward twice)
+        # and 2.64 for "stages"; batch 12 under "blocks" exceeds compiler
+        # resources (scripts/bench_train_remat.py).  "both" remains the
+        # lowest-memory fallback for bigger windows/models.
         from ..utils.jaxcache import ensure_compilation_cache
 
         ensure_compilation_cache()
-        self.model = MICA(base=base_filters, dtype=dtype, remat=remat)
+        self.model = MICA(base=base_filters, dtype=dtype, remat=remat,
+                          remat_scope=remat_scope)
         # validate + A/B the depthwise-conv formulations for this model's
         # widths before the first trace (same per-width registry the
         # inference engine uses; pick_depthwise_path no-ops off-TPU, under

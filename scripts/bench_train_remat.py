@@ -14,11 +14,12 @@ import time
 
 import numpy as np
 
+# (remat, remat_scope, batch)
+# Measured on v5e (2026-08-19): blocks/8 wins at 2.47 s/step
+# (both/8 2.66, stages/8 2.64); blocks/12, stages/6 and no-remat die in
+# the XLA compiler (live ranges / compile-helper failure).
 CONFIGS = [
-    (True, 8),   # incumbent
-    (False, 4),
-    (False, 6),
-    (False, 8),
+    (True, "blocks", 8),   # production default
 ]
 
 
@@ -34,11 +35,11 @@ def main():
     from mica_tpu.train.loss import task_lambdas
     from mica_tpu.train.trainer import Trainer
 
-    for remat, batch in CONFIGS:
+    for remat, scope, batch in CONFIGS:
         try:
             trainer = Trainer(base_filters=64, dtype=jnp.bfloat16,
                               use_mesh=False, use_augmentation=True,
-                              remat=remat)
+                              remat=remat, remat_scope=scope)
             state = trainer.init_state((1, 64, 64, 64, 1))
             batch_np = synthetic_batch(batch_size=batch, size=64)
             batch_dev = tuple(jnp.asarray(b) for b in batch_np)
@@ -59,11 +60,11 @@ def main():
             jax.block_until_ready(metrics["total_loss"])
             _ = float(np.asarray(metrics["total_loss"]))
             dt = (time.time() - t0) / iters
-            print(f"remat={remat!s:5s} batch={batch}: {dt:6.3f} s/step  "
+            print(f"remat={remat!s:5s}/{scope:6s} batch={batch}: {dt:6.3f} s/step  "
                   f"{batch / dt:5.2f} samples/s  "
                   f"[compile {compile_s:.0f}s, loss {loss:.3f}]", flush=True)
         except Exception as e:  # noqa: BLE001 - OOM and friends per config
-            print(f"remat={remat!s:5s} batch={batch}: FAILED "
+            print(f"remat={remat!s:5s}/{scope:6s} batch={batch}: FAILED "
                   f"{type(e).__name__}: {e}"[:300], flush=True)
         finally:
             state = batch_dev = metrics = step = trainer = None  # noqa: F841

@@ -36,7 +36,8 @@ def main():
 
     wins = jnp.zeros((1, 8, 64, 64, 64, 1), jnp.float32)
     afs = jnp.zeros((1, 8, 64, 64, 64), jnp.uint32)
-    compiled = jax.jit(step).lower(pred.params, wins, afs, 1).compile()
+    lower = step.lower if hasattr(step, "lower") else jax.jit(step).lower
+    compiled = lower(pred.params, wins, afs, 1).compile()
     txt = compiled.as_text()
     with open("/tmp/step_hlo.txt", "w") as f:
         f.write(txt)

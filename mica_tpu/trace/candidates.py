@@ -105,23 +105,88 @@ def filter_clusters(points: np.ndarray, labels: np.ndarray,
 
 def nms(points: np.ndarray, scores: np.ndarray, radius_sq: float = 9.0,
         score_threshold: float = 0.3) -> np.ndarray:
-    """Greedy NMS by descending score; suppress within sqrt(radius_sq)."""
+    """Greedy NMS by descending score; suppress within sqrt(radius_sq).
+
+    Exact greedy semantics (modeler.py:821-830), computed by parallel
+    rounds over the sparse within-radius pair set instead of a serial
+    per-survivor ball query: a point is kept when no higher-priority
+    point within the radius is still in play; every neighbor of a
+    newly-kept point is retired.  Each round is a handful of vectorized
+    passes over the pair list, and the round count is bounded by the
+    longest descending-score suppression chain (tens, in practice, even
+    at 50k candidates — the serial loop this replaces was the one O(N)
+    Python hotspot left on the host fallback path).
+
+    Ties break like the serial loop: stable descending sort, so equal
+    scores process in ascending original index.
+    """
     from scipy.spatial import cKDTree
 
     order = np.argsort(-scores, kind="stable")
     order = order[scores[order] >= score_threshold]
+    m = len(order)
+    if m == 0:
+        return np.zeros(0, np.int64)
     pts = points[order].astype(np.float64)
-    tree = cKDTree(pts)
-    suppressed = np.zeros(len(order), bool)
-    keep = []
-    r = np.sqrt(radius_sq)
-    for i in range(len(order)):
-        if suppressed[i]:
+    # sparse neighbor pairs within r, in priority (rank) space: hi < lo
+    pairs = cKDTree(pts).query_pairs(np.sqrt(radius_sq),
+                                     output_type="ndarray")
+    hi = np.minimum(pairs[:, 0], pairs[:, 1]) if len(pairs) else np.zeros(0, np.int64)
+    lo = np.maximum(pairs[:, 0], pairs[:, 1]) if len(pairs) else np.zeros(0, np.int64)
+
+    active = np.ones(m, bool)
+    kept = np.zeros(m, bool)
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > 256:
+            # adversarial suppression chains (a sorted line of points)
+            # retire only O(1) points per round; finish the stragglers
+            # with the serial scan — identical semantics, tiny remainder
+            kept |= _nms_serial_tail(pts, hi, lo, active)
+            break
+        # keep every active point with no ACTIVE higher-priority neighbor
+        blocked = np.zeros(m, bool)
+        live = active[hi] & active[lo]
+        blocked[lo[live]] = True
+        keep_now = active & ~blocked
+        if not keep_now.any():
+            break
+        kept |= keep_now
+        # retire the keepers and everything within radius of them (a
+        # kept-lo/active-hi pair is impossible: an active hi would have
+        # blocked lo — the hi side is masked on `active` for safety only)
+        supp = np.zeros(m, bool)
+        supp[lo[keep_now[hi]]] = True
+        supp[hi[keep_now[lo] & active[hi]]] = True
+        active &= ~(keep_now | supp)
+        if not active.any():
+            break
+    return order[kept]
+
+
+def _nms_serial_tail(pts: np.ndarray, hi: np.ndarray, lo: np.ndarray,
+                     active: np.ndarray) -> np.ndarray:
+    """Serial greedy over the remaining ``active`` points (rank space).
+
+    Used only when the parallel rounds hit the iteration cap; walks ranks
+    ascending (= descending score) over the precomputed pair adjacency."""
+    m = len(pts)
+    adj = [[] for _ in range(m)]
+    for a, b in zip(hi, lo):
+        if active[a] or active[b]:
+            adj[a].append(b)
+            adj[b].append(a)
+    kept = np.zeros(m, bool)
+    alive = active.copy()
+    for i in np.flatnonzero(active):
+        if not alive[i]:
             continue
-        keep.append(order[i])
-        for j in tree.query_ball_point(pts[i], r):
-            suppressed[j] = True
-    return np.asarray(keep, np.int64)
+        kept[i] = True
+        alive[i] = False
+        for j in adj[i]:
+            alive[j] = False
+    return kept
 
 
 def refine_candidates(cands: np.ndarray, ca_prob: np.ndarray, aa_prob: np.ndarray):

@@ -300,11 +300,20 @@ _AUTOTUNE_MEMO: dict = {}
 _VALIDATED_WIDTHS: dict = {}
 _CACHE_FILE = os.path.join(os.path.expanduser("~"), ".cache", "mica_tpu",
                            "dw_autotune.json")
-# Device kinds with a RECORDED silicon A/B verdict: value = widths where the
-# Pallas kernel won (empty = XLA grouped conv won everywhere).  v5e measured
-# 2026-08-19 (PERFORMANCE.md "Depthwise verdict on silicon"): XLA 7.6 ms vs
-# Pallas 16.5 ms at C=64 and XLA ahead at 128/256 too — nothing enabled.
-_MEASURED_PLATFORM_DEFAULTS: dict = {"TPU v5 lite": ()}
+# Device kinds with a RECORDED silicon A/B verdict: widths where the Pallas
+# kernel won (empty = XLA grouped conv won everywhere) plus the code
+# fingerprint the verdict was measured at.  v5e measured 2026-08-19
+# (PERFORMANCE.md "Depthwise verdict on silicon"): XLA 7.6 ms vs Pallas
+# 16.5 ms at C=64 and XLA ahead at 128/256 too — nothing enabled.
+# An EMPTY verdict is safe at any fingerprint (it only declines the
+# optional kernel); a non-empty verdict would enable Pallas widths without
+# the registry's in-process parity/grad gates, so it is honored only while
+# the module fingerprint still matches the one the measurement was taken
+# at — otherwise selection falls through to the live autotune (which runs
+# the full per-width validation).
+_MEASURED_PLATFORM_DEFAULTS: dict = {
+    "TPU v5 lite": {"widths": (), "fingerprint": None},
+}
 
 
 def depthwise_active(channels: int) -> bool:
@@ -373,30 +382,15 @@ def pick_depthwise_path(widths=(64, 128, 256), spatial: int = 64) -> dict:
             return {"path": "xla", "autotuned": False, "why": "multi-host"}
 
         kind = getattr(jax.devices()[0], "device_kind", "tpu")
-        if (os.environ.get("MICA_DW_AUTOTUNE") != "1"
-                and kind in _MEASURED_PLATFORM_DEFAULTS):
-            # The live A/B costs ~10 min of remote compiles in a fresh
-            # container (5 programs/width through the tunnel) and its
-            # outcome on this device kind is already known from a recorded
-            # silicon measurement (PERFORMANCE.md, 2026-08-19: XLA's
-            # grouped conv beats the Pallas kernel at every width on v5e).
-            # Skipping is the SAFE direction — it only declines the
-            # optional kernel.  A future kernel change re-measures via
-            # MICA_DW_AUTOTUNE=1 or forces the kernel via MICA_PALLAS_DW=1.
-            for c in _MEASURED_PLATFORM_DEFAULTS[kind]:
-                _VALIDATED_WIDTHS[int(c)] = True
-            return {"path": ("pallas" if _MEASURED_PLATFORM_DEFAULTS[kind]
-                             else "xla"),
-                    "autotuned": False,
-                    "enabled": list(_MEASURED_PLATFORM_DEFAULTS[kind]),
-                    "why": f"measured platform default for {kind!r} "
-                           "(MICA_DW_AUTOTUNE=1 re-measures)"}
-        key = (f"{kind}|s{spatial}|w{','.join(map(str, widths))}"
-               f"|{_code_fingerprint()}")
+        fp = _code_fingerprint()
+        key = f"{kind}|s{spatial}|w{','.join(map(str, widths))}|{fp}"
     except Exception as e:  # noqa: BLE001 - selection must never fail
         return {"path": "xla", "autotuned": False,
                 "error": f"{type(e).__name__}: {e}"[:200]}
 
+    # A fresher measurement (a MICA_DW_AUTOTUNE=1 run wrote the disk cache,
+    # keyed with the CURRENT code fingerprint + widths + spatial) takes
+    # precedence over the baked platform default below.
     cached = _AUTOTUNE_MEMO.get(key)
     if cached is None:
         try:
@@ -409,6 +403,27 @@ def pick_depthwise_path(widths=(64, 128, 256), spatial: int = 64) -> dict:
         for c in cached.get("enabled", ()):
             _VALIDATED_WIDTHS[int(c)] = True
         return dict(cached, cache_hit=True)
+
+    baked = _MEASURED_PLATFORM_DEFAULTS.get(kind)
+    if (baked is not None and os.environ.get("MICA_DW_AUTOTUNE") != "1"
+            and (not baked["widths"] or baked["fingerprint"] == fp)):
+        # The live A/B costs ~10 min of remote compiles in a fresh
+        # container (5 programs/width through the tunnel) and its
+        # outcome on this device kind is already known from a recorded
+        # silicon measurement (PERFORMANCE.md, 2026-08-19: XLA's
+        # grouped conv beats the Pallas kernel at every width on v5e).
+        # Skipping is the SAFE direction when the verdict is empty — it
+        # only declines the optional kernel; a non-empty verdict is
+        # honored only at its recorded code fingerprint (gate above).
+        # A future kernel change re-measures via MICA_DW_AUTOTUNE=1 or
+        # forces the kernel via MICA_PALLAS_DW=1.
+        for c in baked["widths"]:
+            _VALIDATED_WIDTHS[int(c)] = True
+        return {"path": "pallas" if baked["widths"] else "xla",
+                "autotuned": False,
+                "enabled": list(baked["widths"]),
+                "why": f"measured platform default for {kind!r} "
+                       "(MICA_DW_AUTOTUNE=1 re-measures)"}
 
     import flax.linen as nn
 

@@ -189,7 +189,7 @@ def test_pick_depthwise_path_fallback(monkeypatch):
     assert out2["path"] == "xla" and out2.get("cache_hit")
 
 
-def test_pick_depthwise_path_platform_default(monkeypatch):
+def test_pick_depthwise_path_platform_default(monkeypatch, tmp_path):
     """Device kinds with a recorded silicon verdict skip the ~10-min live
     A/B entirely (the driver's round-end bench and every fresh-container
     CLI run construct a predictor; they must not re-pay remote compiles
@@ -211,14 +211,49 @@ def test_pick_depthwise_path_platform_default(monkeypatch):
     assert not dp._VALIDATED_WIDTHS
 
     # a hypothetical platform whose recorded verdict enabled widths must
-    # populate the registry exactly as a live A/B win would
-    monkeypatch.setitem(dp._MEASURED_PLATFORM_DEFAULTS, "TPU v5 lite", (64,))
+    # populate the registry exactly as a live A/B win would — but ONLY at
+    # the code fingerprint the verdict was measured at (a baked non-empty
+    # verdict bypasses the parity/grad gates, so it must not outlive the
+    # kernel code that earned it)
+    monkeypatch.setitem(
+        dp._MEASURED_PLATFORM_DEFAULTS, "TPU v5 lite",
+        {"widths": (64,), "fingerprint": dp._code_fingerprint()})
     out = dp.pick_depthwise_path()
     assert out["path"] == "pallas" and out["enabled"] == [64]
     assert dp._VALIDATED_WIDTHS.get(64) is True
 
+    # same verdict at a STALE fingerprint falls through to the live
+    # autotune (which on this CPU host lands in the per-width error path)
+    monkeypatch.setitem(
+        dp._MEASURED_PLATFORM_DEFAULTS, "TPU v5 lite",
+        {"widths": (64,), "fingerprint": "stale00000"})
+    monkeypatch.setattr(dp, "_CACHE_FILE", "/nonexistent-dir/x.json")
+    monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})
+    monkeypatch.setattr(dp, "_VALIDATED_WIDTHS", {})
+    out = dp.pick_depthwise_path(widths=(8,), spatial=8)
+    assert out["autotuned"] and any(k.endswith("_error") for k in out)
+    assert not dp._VALIDATED_WIDTHS.get(64)
+
+    # a fresher measurement in the disk cache (written by a
+    # MICA_DW_AUTOTUNE=1 run at the current fingerprint) takes precedence
+    # over the baked platform default
+    import json as _json
+    monkeypatch.setitem(
+        dp._MEASURED_PLATFORM_DEFAULTS, "TPU v5 lite",
+        {"widths": (), "fingerprint": None})
+    cache = tmp_path / "dw.json"
+    key = ("TPU v5 lite|s64|w64,128,256|" + dp._code_fingerprint())
+    cache.write_text(_json.dumps(
+        {key: {"path": "pallas", "autotuned": True, "enabled": [128]}}))
+    monkeypatch.setattr(dp, "_CACHE_FILE", str(cache))
+    monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})
+    monkeypatch.setattr(dp, "_VALIDATED_WIDTHS", {})
+    monkeypatch.delenv("MICA_DW_AUTOTUNE", raising=False)
+    out = dp.pick_depthwise_path()
+    assert out.get("cache_hit") and out["enabled"] == [128]
+    assert dp._VALIDATED_WIDTHS.get(128) is True
+
     # explicit opt-in bypasses the default and reaches the live A/B
-    # (which on this CPU host lands in the per-width error path)
     monkeypatch.setenv("MICA_DW_AUTOTUNE", "1")
     monkeypatch.setattr(dp, "_CACHE_FILE", "/nonexistent-dir/x.json")
     monkeypatch.setattr(dp, "_AUTOTUNE_MEMO", {})

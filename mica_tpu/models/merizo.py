@@ -552,10 +552,16 @@ def chain_features(atoms: np.ndarray):
     res_ids = ca["res_id"].astype(np.float32)
     n_at = pdb_io.select(atoms, name="N", standard_aa=True)
     c_at = pdb_io.select(atoms, name="C", standard_aa=True)
+    o_at = pdb_io.select(atoms, name="O", standard_aa=True)
     n_by = {int(r): i for i, r in enumerate(n_at["res_id"])}
     c_by = {int(r): i for i, r in enumerate(c_at["res_id"])}
+    # the reference's check_bb (pdb_parser.py:210-240) drops residues
+    # missing ANY of N/CA/C/O — O is required even though the features
+    # never read it; keeping such residues would shift every downstream
+    # index vs the reference
+    o_ids = {int(r) for r in o_at["res_id"]}
     keep = [i for i, r in enumerate(ca["res_id"])
-            if int(r) in n_by and int(r) in c_by]
+            if int(r) in n_by and int(r) in c_by and int(r) in o_ids]
     ca = ca[keep]
     res_ids = res_ids[keep]
 

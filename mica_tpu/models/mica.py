@@ -41,6 +41,13 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _train_wino_convs() -> bool:
+    """Use the z-axis Winograd formulation for the big convs in the
+    TRAINING forward too (default off until its VJP cost is measured on
+    silicon; ``MICA_TRAIN_WINO=1`` enables)."""
+    return os.environ.get("MICA_TRAIN_WINO", "0") == "1"
+
+
 def _train_fast_convs() -> bool:
     """Use the lane-packed small-Cout conv formulation in the TRAINING
     forward too (default on; ``MICA_TRAIN_PACKED=0`` disables).
@@ -155,6 +162,29 @@ class _ConvParams(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         return k, b
+
+
+def _maybe_wino_in_relu(mod: nn.Module, x, features: int, train: bool,
+                        name: str):
+    """relu(instance_norm(conv3x3(x))) via the fused z-axis Winograd
+    formulation when its gate passes (ops/winograd.py: TPU + bf16 +
+    measured-win channel geometry, or MICA_WINO=1), else ``None`` — the
+    caller then takes the direct path.  The InstanceNorm statistics ride
+    the inverse-transform fusion, recovering the epilogue fusion the
+    direct conv gets for free.  Parameters live at the identical
+    ``<name>/Conv_0`` tree path; ``MICA_TRAIN_WINO=1`` opts training in.
+    """
+    if train and not _train_wino_convs():
+        return None
+    from ..ops.winograd import conv3d_wino_z_in_relu, wino_eligible
+
+    kshape = (3, 3, 3, x.shape[-1], features)
+    if not wino_eligible(x.shape, kshape, mod.dtype):
+        return None
+    if mod.dtype is not None:
+        x = x.astype(mod.dtype)
+    k, b = _NamedConvParams(kshape, features, name=name)()
+    return conv3d_wino_z_in_relu(x, k, b)
 
 
 class SEBlock(nn.Module):
@@ -329,10 +359,13 @@ class ResidualDenseBlock(nn.Module):
         drop = ChannelDropout()
 
         def block(inp, features, name):
-            h = Conv(features, 3, dtype=self.dtype, fast=not train or _train_fast_convs(),
-                     name=name)(inp)
-            h = instance_norm(h)
-            h = nn.relu(h)
+            h = _maybe_wino_in_relu(self, inp, features, train, name)
+            if h is None:
+                h = Conv(features, 3, dtype=self.dtype,
+                         fast=not train or _train_fast_convs(),
+                         name=name)(inp)
+                h = instance_norm(h)
+                h = nn.relu(h)
             return drop(h, dropout_rate, train)
 
         x1 = block(x, c // 2, "conv1")
@@ -359,10 +392,14 @@ class EncoderStage(nn.Module):
                     name="dense_block")(x, dropout_rate, train)
         x = attn_cls(self.in_channels, dtype=self.dtype,
                      name="dual_attn")(x, dropout_rate, train)
-        x = Conv(self.out_channels, 3, dtype=self.dtype, name="transition")(x)
-        x = instance_norm(x)
-        x = nn.relu(x)
-        return ChannelDropout()(x, dropout_rate * 0.5, train)
+        h = _maybe_wino_in_relu(self, x, self.out_channels, train,
+                                "transition")
+        if h is None:
+            h = Conv(self.out_channels, 3, dtype=self.dtype,
+                     name="transition")(x)
+            h = instance_norm(h)
+            h = nn.relu(h)
+        return ChannelDropout()(h, dropout_rate * 0.5, train)
 
 
 class FPN(nn.Module):

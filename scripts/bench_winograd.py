@@ -88,8 +88,13 @@ def main():
         return lax.conv_general_dilated(
             x, k.astype(x.dtype), (1, 1, 1), "SAME", dimension_numbers=dn3)
 
-    def wino_z(x, k, m):
-        """z-axis Winograd F(m,3); k is (3,3,3,Ci,Co) f32."""
+    def wino_z(x, k, m, combine=jnp.float32):
+        """z-axis Winograd F(m,3); k is (3,3,3,Ci,Co) f32.
+
+        ``combine``: accumulation dtype of the input/inverse transforms.
+        float32 is the accuracy-measurement default; bfloat16 halves the
+        transform-domain footprint (BT/AT coefficients are small exact
+        integers, so the extra rounding is one add-chain's worth)."""
         BT, G, AT = MATS[m]
         a = m + 2
         Bsz, D, H, W, Ci = x.shape
@@ -106,7 +111,7 @@ def main():
                 c = float(BT[p, kk])
                 if c == 0.0:
                     continue
-                term = sl[kk].astype(jnp.float32) * c
+                term = sl[kk].astype(combine) * c
                 acc = term if acc is None else acc + term
             V.append(acc.astype(x.dtype))
         # kernel transform in f32 (params are f32): Wt[p] = sum_dz G[p,dz] k[dz]
@@ -130,7 +135,7 @@ def main():
                 c = float(AT[j, p])
                 if c == 0.0:
                     continue
-                term = M[p].astype(jnp.float32) * c
+                term = M[p].astype(combine) * c
                 acc = term if acc is None else acc + term
             outs.append(acc.astype(x.dtype))
         out = jnp.stack(outs, axis=2)  # (B, Dt, m, H, W, Co)
@@ -163,6 +168,13 @@ def main():
             np.float32)
         print(f"bf16 wino{m} : mean|err|/|y| {np.abs(w_bf - oracle).mean() / scale:.3e}  "
               f"max {np.abs(w_bf - oracle).max():.3e}")
+
+    # free the accuracy-section device buffers before timing (xd is a
+    # 2.1 GB f32 volume; the chained wino programs need the HBM)
+    del xd, kd, oracle, d_bf, w_bf
+    import gc
+
+    gc.collect()
 
     # ---- timing: chained pair 512->256 -> 256->512 ----------------------
     K = 8
@@ -200,8 +212,8 @@ def main():
     def make_chain_wino(m):
         def chain(x):
             def body(_, x):
-                y = wino_z(x, k_ab, m)
-                return wino_z(y, k_ba, m) * 0.1
+                y = wino_z(x, k_ab, m, combine=jnp.bfloat16)
+                return wino_z(y, k_ba, m, combine=jnp.bfloat16) * 0.1
             return lax.fori_loop(0, K, body, x)
         return chain
 

@@ -476,9 +476,79 @@ double chi_from_table(const float *table, int ai, double phi, double psi) {
   return table[(ai * kPhiN + pi) * kPhiN + si];
 }
 
+// ---------------------------------------------------------------------------
+// excluded-volume relaxation on a spatial hash grid
+
+struct HashGrid {
+  double cell;
+  std::unordered_map<long long, std::vector<int>> cells;
+  explicit HashGrid(double c) : cell(c) {}
+  long long key(const Vec3 &p) const {
+    long long ix = (long long)std::floor(p.x / cell) + 100000;
+    long long iy = (long long)std::floor(p.y / cell) + 100000;
+    long long iz = (long long)std::floor(p.z / cell) + 100000;
+    return (ix * 2000003LL + iy) * 2000003LL + iz;
+  }
+  void insert(const Vec3 &p, int id) { cells[key(p)].push_back(id); }
+  template <typename F>
+  void neighbors(const Vec3 &p, F f) const {
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          Vec3 q = p + Vec3(dx * cell, dy * cell, dz * cell);
+          auto it = cells.find(key(q));
+          if (it == cells.end()) continue;
+          for (int id : it->second) f(id);
+        }
+  }
+};
+
+// Residues whose chi2 candidates are worth exploring during rotamer
+// selection (long flexible chains; rings/branched residues keep the
+// calibrated chi2, which the golden tests anchor).
+inline bool chi2_flexible(const std::string &rn) {
+  return rn == "LYS" || rn == "ARG" || rn == "MET" || rn == "GLU" ||
+         rn == "GLN";
+}
+
 void build_sidechains(CAChainFragment &frag) {
   const auto &table = sidechain_table();
   size_t n = frag.residues.size();
+
+  // Excluded-volume context (the counterpart of PULCHRA's rotamer
+  // excluded-volume optimization, pulchra.c:1933-2100): every candidate
+  // rotamer is scored against the fragment's backbone plus the side
+  // chains placed so far (sequential placement), and the best-scoring
+  // candidate wins.  The calibrated (phi, psi)-binned rotamer carries a
+  // zero prior, so in the clash-free case the selection is EXACTLY the
+  // calibrated choice — alternatives engage only when it collides.
+  struct Ctx { Vec3 pos; int res; };
+  std::vector<Ctx> ctx;
+  HashGrid grid(3.0);
+  auto add_ctx = [&](const Vec3 &p, int res) {
+    grid.insert(p, (int)ctx.size());
+    ctx.push_back({p, res});
+  };
+  for (size_t ri = 0; ri < n; ++ri)
+    for (const Atom &a : frag.residues[ri].atoms) add_ctx(a.pos, (int)ri);
+
+  const double kClash = 2.8;  // soft excluded-volume radius
+  auto clash_score = [&](const std::vector<std::pair<std::string, Vec3>>
+                             &atoms, int ri) {
+    double sc = 0;
+    for (const auto &nv : atoms)
+      grid.neighbors(nv.second, [&](int j) {
+        if (std::abs(ctx[j].res - ri) <= 1) return;  // self/bonded range
+        Vec3 d = nv.second - ctx[j].pos;
+        double dn = norm(d);
+        if (dn < kClash) {
+          double v = kClash - dn;
+          sc += v * v;
+        }
+      });
+    return sc;
+  };
+
   for (size_t ri = 0; ri < n; ++ri) {
     Residue &r = frag.residues[ri];
     std::unordered_map<std::string, Vec3> pos;
@@ -490,17 +560,34 @@ void build_sidechains(CAChainFragment &frag) {
     Vec3 cb = nerf(pos["C"], pos["N"], pos["CA"], 1.530, 110.4, -122.55);
     pos["CB"] = cb;
     r.atoms.push_back({"CB", cb, 'C'});
+    add_ctx(cb, (int)ri);
 
     auto it = table.find(r.res_name);
     if (it == table.end()) continue;
+
+    // IC-table chi definitions (independent of phi/psi availability)
+    double chi1_def = 0, chi2_def = 0;
+    bool has1 = false, has2 = false;
+    int ai = aa_index(r.res_name);
+    auto git = gamma_atom().find(r.res_name);
+    auto dit = delta_atom().find(r.res_name);
+    if (git != gamma_atom().end())
+      for (const IC &ic : it->second) {
+        if (ic.atom == git->second) {
+          chi1_def = ic.dihedral;
+          has1 = true;
+        }
+        if (dit != delta_atom().end() && ic.atom == dit->second) {
+          chi2_def = ic.dihedral;
+          has2 = true;
+        }
+      }
 
     // backbone-dependent rotamer: shift the gamma-level (chi1) and
     // delta-level (chi2) dihedrals of the IC table toward the calibrated
     // (phi, psi)-binned values
     double d1 = 0, d2 = 0;
-    int ai = aa_index(r.res_name);
-    auto git = gamma_atom().find(r.res_name);
-    if (ai >= 0 && git != gamma_atom().end() && ri > 0 && ri + 1 < n) {
+    if (ai >= 0 && has1 && ri > 0 && ri + 1 < n) {
       // phi needs C(i-1); psi needs N(i+1)
       const Vec3 *prevC = nullptr, *nextN = nullptr;
       for (const Atom &a : frag.residues[ri - 1].atoms)
@@ -510,16 +597,6 @@ void build_sidechains(CAChainFragment &frag) {
       if (prevC && nextN) {
         double phi = dihedral_deg(*prevC, pos["N"], pos["CA"], pos["C"]);
         double psi = dihedral_deg(pos["N"], pos["CA"], pos["C"], *nextN);
-        double chi1_def = 0, chi2_def = 0;
-        bool has2 = false;
-        auto dit = delta_atom().find(r.res_name);
-        for (const IC &ic : it->second) {
-          if (ic.atom == git->second) chi1_def = ic.dihedral;
-          if (dit != delta_atom().end() && ic.atom == dit->second) {
-            chi2_def = ic.dihedral;
-            has2 = true;
-          }
-        }
         // table angles are in the measuring convention of dihedral_deg,
         // which is the NEGATIVE of nerf's dihedral argument (verified
         // numerically) — negate when converting to IC-table shifts
@@ -535,16 +612,52 @@ void build_sidechains(CAChainFragment &frag) {
       }
     }
 
-    for (const IC &ic : it->second) {
-      auto pa = pos.find(ic.a), pb = pos.find(ic.b), pc = pos.find(ic.c);
-      if (pa == pos.end() || pb == pos.end() || pc == pos.end()) continue;
-      double dih = ic.dihedral;
-      if (std::strcmp(ic.c, "CB") == 0) dih = wrap_deg(dih + d1);
-      else if (std::strcmp(ic.b, "CB") == 0) dih = wrap_deg(dih + d2);
-      Vec3 p = nerf(pa->second, pb->second, pc->second, ic.bond, ic.angle,
-                    dih);
-      pos[ic.atom] = p;
-      r.atoms.push_back({ic.atom, p, element_of(ic.atom)});
+    auto place = [&](double dd1, double dd2) {
+      std::vector<std::pair<std::string, Vec3>> out;
+      std::unordered_map<std::string, Vec3> p2 = pos;
+      for (const IC &ic : it->second) {
+        auto pa = p2.find(ic.a), pb = p2.find(ic.b), pc = p2.find(ic.c);
+        if (pa == p2.end() || pb == p2.end() || pc == p2.end()) continue;
+        double dih = ic.dihedral;
+        if (std::strcmp(ic.c, "CB") == 0) dih = wrap_deg(dih + dd1);
+        else if (std::strcmp(ic.b, "CB") == 0) dih = wrap_deg(dih + dd2);
+        Vec3 p = nerf(pa->second, pb->second, pc->second, ic.bond, ic.angle,
+                      dih);
+        p2[ic.atom] = p;
+        out.emplace_back(ic.atom, p);
+      }
+      return out;
+    };
+
+    // top-k rotamer set: the calibrated choice (prior 0) plus the
+    // canonical chi1 wells (g-, g+, t), each optionally crossed with the
+    // canonical chi2 wells for long flexible chains
+    struct Cand { double d1, d2, prior; };
+    std::vector<Cand> cands{{d1, d2, 0.0}};
+    if (has1) {
+      for (double chi1c : {-60.0, 60.0, 180.0}) {
+        double d1c = wrap_deg(-chi1c - chi1_def);
+        cands.push_back({d1c, d2, 0.15});
+        if (has2 && chi2_flexible(r.res_name))
+          for (double chi2c : {-60.0, 60.0, 180.0})
+            cands.push_back({d1c, wrap_deg(-chi2c - chi2_def), 0.30});
+      }
+    }
+
+    double best = 1e30;
+    std::vector<std::pair<std::string, Vec3>> best_atoms;
+    for (const Cand &c : cands) {
+      auto atoms = place(c.d1, c.d2);
+      double sc = clash_score(atoms, (int)ri) + c.prior;
+      if (sc < best - 1e-12) {
+        best = sc;
+        best_atoms = std::move(atoms);
+      }
+      if (best <= c.prior + 1e-12 && c.prior == 0.0) break;  // clash-free
+    }
+    for (const auto &nv : best_atoms) {
+      r.atoms.push_back({nv.first, nv.second, element_of(nv.first)});
+      add_ctx(nv.second, (int)ri);
     }
   }
 }
@@ -586,31 +699,8 @@ int chirality_fix(std::vector<CAChainFragment> &frags) {
 }
 
 // ---------------------------------------------------------------------------
-// excluded-volume relaxation on a spatial hash grid
-
-struct HashGrid {
-  double cell;
-  std::unordered_map<long long, std::vector<int>> cells;
-  explicit HashGrid(double c) : cell(c) {}
-  long long key(const Vec3 &p) const {
-    long long ix = (long long)std::floor(p.x / cell) + 100000;
-    long long iy = (long long)std::floor(p.y / cell) + 100000;
-    long long iz = (long long)std::floor(p.z / cell) + 100000;
-    return (ix * 2000003LL + iy) * 2000003LL + iz;
-  }
-  void insert(const Vec3 &p, int id) { cells[key(p)].push_back(id); }
-  template <typename F>
-  void neighbors(const Vec3 &p, F f) const {
-    for (int dx = -1; dx <= 1; ++dx)
-      for (int dy = -1; dy <= 1; ++dy)
-        for (int dz = -1; dz <= 1; ++dz) {
-          Vec3 q = p + Vec3(dx * cell, dy * cell, dz * cell);
-          auto it = cells.find(key(q));
-          if (it == cells.end()) continue;
-          for (int id : it->second) f(id);
-        }
-  }
-};
+// excluded-volume relaxation on a spatial hash grid (HashGrid defined
+// above build_sidechains, which also uses it for rotamer selection)
 
 void relax_clashes(std::vector<CAChainFragment> &frags, int iters = 3) {
   struct Ref {

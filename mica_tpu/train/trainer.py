@@ -254,6 +254,10 @@ class Trainer:
             )
             return new_state, metrics
 
+        from ..infer.engine import _heavy_compile_options
+
+        opts = _heavy_compile_options()  # 32 MB scoped VMEM: same conv
+        # emitter win as the inference step (~1.5%, PERFORMANCE.md)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             bshard = NamedSharding(self.mesh, P(DATA_AXIS))
@@ -262,8 +266,9 @@ class Trainer:
                 in_shardings=(repl, (bshard,) * 5, repl, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,),
+                compiler_options=opts,
             )
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,), compiler_options=opts)
 
     def train_step_for_epoch(self, epoch: int):
         rate = dropout_rate_for_epoch(epoch)

@@ -280,3 +280,104 @@ def test_multichain_gapped_trace(tmp_path):
                 d = float(np.linalg.norm(byres[(c1, r1)]["C"]
                                          - byres[(c2, r2)]["N"]))
                 assert d > 2.0, ((c1, r1), (c2, r2), d)
+
+
+_GAMMA = {"SER": "OG", "CYS": "SG", "THR": "OG1", "VAL": "CG1",
+          "ILE": "CG1", "LEU": "CG", "MET": "CG", "PRO": "CG",
+          "PHE": "CG", "TYR": "CG", "TRP": "CG", "ASP": "CG",
+          "ASN": "CG", "GLU": "CG", "GLN": "CG", "LYS": "CG",
+          "ARG": "CG", "HIS": "CG"}
+
+
+def _chi1_by_residue(atoms):
+    from collections import defaultdict
+
+    by = defaultdict(dict)
+    names = {}
+    for r, n, rn, x, y, z in zip(atoms["res_id"], atoms["name"],
+                                 atoms["res_name"], atoms["x"],
+                                 atoms["y"], atoms["z"]):
+        by[int(r)][str(n)] = np.array([x, y, z])
+        names[int(r)] = str(rn)
+    out = {}
+    for r, pos in by.items():
+        g = _GAMMA.get(names[r])
+        if not g or g not in pos or "CB" not in pos:
+            continue
+        p0, p1, p2, p3 = pos["N"], pos["CA"], pos["CB"], pos[g]
+        b1, b2, b3 = p1 - p0, p2 - p1, p3 - p2
+        n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+        m = np.cross(n1, b2 / np.linalg.norm(b2))
+        out[r] = float(np.degrees(np.arctan2(m @ n2, n1 @ n2)))
+    return out
+
+
+def test_allatom_and_chi1_vs_pulchra(outputs):
+    """Side-chain fidelity metrics vs the shipped binary (VERDICT r2 #6).
+
+    PULCHRA is itself a predictor (no crystal ground truth exists for the
+    CA-trace example), so these are AGREEMENT metrics between two rotamer
+    selectors: strong-signal residues should land in the same chi1 well.
+    Measured 2026-08-20 (top-k clash-scored rotamer selection): all-atom
+    RMSD 1.83 A, side-chain-only 2.94 A, chi1 within 40 deg 57.7%
+    (median 20.1 deg) — the bounds below are regression floors."""
+    ours, theirs = outputs
+
+    def keyed(a):
+        return {(int(r), str(n)): (x, y, z)
+                for r, n, x, y, z in zip(a["res_id"], a["name"],
+                                         a["x"], a["y"], a["z"])}
+
+    ko, kr = keyed(ours), keyed(theirs)
+    common = sorted(set(ko) & set(kr))
+    assert len(common) > 1500
+    d = np.array([np.subtract(ko[k], kr[k]) for k in common])
+    rmsd_all = float(np.sqrt((d ** 2).sum(1).mean()))
+    sc_rows = [i for i, k in enumerate(common)
+               if k[1] not in ("N", "CA", "C", "O", "CB")]
+    rmsd_sc = float(np.sqrt((d[sc_rows] ** 2).sum(1).mean()))
+    assert rmsd_all < 2.2, rmsd_all
+    assert rmsd_sc < 3.5, rmsd_sc
+
+    c_o = _chi1_by_residue(ours)
+    c_r = _chi1_by_residue(theirs)
+    comm = sorted(set(c_o) & set(c_r))
+    assert len(comm) > 150
+    diff = np.array([abs((c_o[r] - c_r[r] + 180) % 360 - 180)
+                     for r in comm])
+    within = float((diff < 40).mean())
+    assert within >= 0.50, f"chi1 within-40deg agreement {within:.3f}"
+    assert float(np.median(diff)) < 30.0, float(np.median(diff))
+
+
+def test_rotamer_selection_avoids_clash(tmp_path):
+    """The top-k selection picks an alternative chi1 well when the
+    calibrated rotamer collides: two close antiparallel strands force at
+    least some side chains off the zero-prior candidate, and the result
+    must stay clash-free at the selection radius used by relax (2.0 A
+    hard count)."""
+    from mica_tpu.io import pdb as pdb_io
+    from mica_tpu.tools import allatom
+
+    lines = []
+    serial = 1
+    # two straight CA strands 4.6 A apart, side chains forced inward
+    for strand, (y, chain_ofs) in enumerate(((0.0, 0), (4.6, 40))):
+        for i in range(12):
+            xyz = np.array([i * 3.8, y, 0.0])
+            lines.append(pdb_io.format_atom_line(
+                serial, "CA", "LYS", "A", chain_ofs + i + 1, xyz,
+                element="C"))
+            serial += 1
+    src = tmp_path / "strands.pdb"
+    src.write_text("\n".join(lines) + "\nEND\n")
+    out = allatom.rebuild_ca_model(str(src), str(tmp_path / "out.pdb"))
+    assert out is not None
+    atoms = pdb_io.parse_pdb(tmp_path / "out.pdb")
+    co = np.stack([atoms["x"], atoms["y"], atoms["z"]], 1)
+    from scipy.spatial import cKDTree
+
+    pairs = cKDTree(co).query_pairs(2.0, output_type="ndarray")
+    rid = atoms["res_id"].astype(int)
+    bad = int(np.sum(np.abs(rid[pairs[:, 0]] - rid[pairs[:, 1]]) > 1))
+    assert bad == 0, f"{bad} hard clashes in the forced-contact case"

@@ -11,6 +11,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' fast subset
+
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402

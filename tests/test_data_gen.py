@@ -8,6 +8,11 @@ from mica_tpu.utils.metrics import MetricsLogger
 from synthetic import make_chain
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' fast subset
+
 def _make_inputs(tmp_path, n_res=20, shape=(60, 56, 52)):
     ca = make_chain(n_res, shape, seed=1)
     seq = "MKTAYIAKQRQISFVKSHFS"[:n_res]

@@ -46,6 +46,7 @@ def test_parity_vs_flax_grouped_conv(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_model_gate_parity(rng, monkeypatch):
     """MICA_PALLAS_DW=interpret drives the full MICA forward through the
     Pallas depthwise path with the SAME parameter tree (the
@@ -66,6 +67,7 @@ def test_full_model_gate_parity(rng, monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_full_model_grad_through_gate(rng, monkeypatch):
     """Gradients flow through the custom-VJP gate with the same values as
     the XLA grouped-conv path (training uses the Pallas kernel too)."""
@@ -109,6 +111,7 @@ def test_full_model_grad_through_gate(rng, monkeypatch):
     ((2, 8, 8, 8, 8), 4),      # z-halo taps cross block boundaries
     ((1, 8, 8, 8, 16), 8),     # single block (edge clamps masked)
 ])
+@pytest.mark.slow
 def test_grad_parity(rng, shape, d_block):
     """custom_vjp backward (Pallas dx + fused dk/db accumulation) against
     XLA autodiff through the shifted-FMA reference formulation."""
@@ -148,6 +151,7 @@ def test_pick_depthwise_path_gates(monkeypatch):
     assert "MICA_PALLAS_DW" not in __import__("os").environ
 
 
+@pytest.mark.slow
 def test_f32_models_keep_xla_under_env(monkeypatch, rng):
     """A published MICA_PALLAS_DW=1 (from a bf16 autotune) must NOT flip
     float32 models onto the Pallas kernel: f32 is the reference-parity
@@ -262,6 +266,7 @@ def test_pick_depthwise_path_platform_default(monkeypatch, tmp_path):
     assert out["autotuned"] and any(k.endswith("_error") for k in out)
 
 
+@pytest.mark.slow
 def test_aot_compiles_for_v5e():
     """AOT-compile the kernels for a v5e topology (libtpu compiler, no
     device needed): catches Mosaic lowering failures and scoped-VMEM

@@ -138,6 +138,7 @@ def _worker_env() -> dict:
 
 @pytest.mark.skipif(os.environ.get("MICA_SKIP_MULTIPROC") == "1",
                     reason="multiprocess test disabled")
+@pytest.mark.slow
 def test_two_virtual_hosts(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -170,6 +171,7 @@ def test_two_virtual_hosts(tmp_path):
 
 @pytest.mark.skipif(os.environ.get("MICA_SKIP_MULTIPROC") == "1",
                     reason="multiprocess test disabled")
+@pytest.mark.slow
 def test_two_host_training_step(tmp_path):
     """Full SPMD training step (params replicated, batch sharded, psum
     gradient reduction) across 2 processes: both see the same finite loss."""
@@ -206,3 +208,52 @@ def test_two_host_training_step(tmp_path):
         losses.append(float(line[0].rsplit("=", 1)[1]))
     # replicated params + psum: both processes report the identical loss
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_virtual_mesh_step_time_flatness():
+    """Data-parallel scaling sanity on the virtual 8-device CPU mesh
+    (VERDICT r2 #5): a global batch of 8 sharded 1-per-device must not
+    cost materially more wall time than the same batch on one device —
+    the total FLOPs are identical, so a blow-up means the sharding
+    replicated compute or inserted pathological collectives.  The bound
+    is loose (3x) because the 8 virtual devices share one host core and
+    the comparison only needs to catch catastrophic regressions."""
+    import time
+
+    import jax.numpy as jnp
+
+    from mica_tpu.parallel.mesh import make_mesh
+    from mica_tpu.train.data import synthetic_batch
+    from mica_tpu.train.loss import task_lambdas
+    from mica_tpu.train.trainer import Trainer
+
+    import jax
+
+    assert jax.device_count() >= 8, "conftest forces an 8-device CPU mesh"
+    batch_np = synthetic_batch(batch_size=8, size=32)
+    lambdas = jnp.asarray(task_lambdas(0), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def timed_steps(trainer, iters=3):
+        state = trainer.init_state((1, 32, 32, 32, 1))
+        batch = tuple(jnp.asarray(b) for b in batch_np)
+        step = trainer.train_step_for_epoch(0)
+        state, m = step(state, batch, lambdas, key)  # compile + warm
+        jax.block_until_ready(m["total_loss"])
+        t0 = time.time()
+        for _ in range(iters):
+            state, m = step(state, batch, lambdas, key)
+        jax.block_until_ready(m["total_loss"])
+        loss = float(np.asarray(m["total_loss"]))
+        assert np.isfinite(loss)
+        return (time.time() - t0) / iters
+
+    t1 = timed_steps(Trainer(base_filters=16, use_mesh=False,
+                             use_augmentation=False))
+    t8 = timed_steps(Trainer(base_filters=16, mesh=make_mesh(),
+                             use_augmentation=False))
+    assert t8 < 3.0 * t1 + 0.5, (
+        f"8-device sharded step {t8:.2f}s vs single-device {t1:.2f}s — "
+        "data-parallel sharding is replicating work"
+    )

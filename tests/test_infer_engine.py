@@ -82,6 +82,7 @@ def test_engine_no_af(params, rng):
     assert np.isfinite(out["backbone_probability"]).all()
 
 
+@pytest.mark.slow
 def test_engine_sharded_matches_single(params, rng):
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
     shape = (26, 26, 13)
@@ -101,6 +102,7 @@ def test_engine_sharded_matches_single(params, rng):
         np.testing.assert_allclose(sharded[key], single[key], atol=1e-4, err_msg=key)
 
 
+@pytest.mark.slow
 def test_engine_sharded_volumes_match(params, rng):
     """X-sharded accumulator volumes (memory-scalable mode) must produce
     the same outputs as the replicated path."""
@@ -138,6 +140,7 @@ def test_engine_shard_volumes_requires_mesh(params):
         )
 
 
+@pytest.mark.slow
 def test_engine_empty_window_dedup(params, rng):
     """Volumes with empty regions: dedup path must match direct forward."""
     shape = (26, 26, 26)
@@ -159,6 +162,7 @@ def test_engine_empty_window_dedup(params, rng):
     np.testing.assert_allclose(out["amino_acid_probability"], aa_v, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_average_blend(params, rng):
     """Overlap-averaged stitching: smooth, finite, close to core mode."""
     shape = (26, 26, 13)
@@ -189,6 +193,7 @@ def test_engine_average_blend(params, rng):
         assert np.mean(np.abs(a - c)) < 0.2
 
 
+@pytest.mark.slow
 def test_engine_average_blend_batch_independent(params, rng):
     """Average-mode output must not depend on batch size: batch-padding
     duplicates previously accumulated the last window multiple times,
@@ -250,6 +255,7 @@ def test_window_nonempty_matches_bruteforce(rng):
         np.testing.assert_array_equal(got4, want4)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_engine_scale_sharded_dedup_384(params, rng):
     """Scale test (VERDICT r1 #7): a >=384-voxel sharding axis through
@@ -325,6 +331,7 @@ def test_best_core_geometry():
         _e._GEOMETRY_RATE_PENALTY.update(old)
 
 
+@pytest.mark.slow
 def test_engine_alternate_geometry_matches_oracle(params, rng):
     """The engine is geometry-generic: a non-default core/halo must match
     the direct-forward oracle at that same geometry (outputs legitimately
@@ -357,6 +364,7 @@ def test_engine_alternate_geometry_matches_oracle(params, rng):
     np.testing.assert_allclose(out["backbone_probability"], bb_v, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_engine_partial_chunk_padding_blind_writes(params, rng):
     """n_valid not a multiple of batch: the tail chunk carries padding
     windows (gathered repeats of the last real start).  The core-blend

@@ -76,6 +76,7 @@ def jax_params(torch_merizo):
     return jmz.torch_state_dict_to_params(sd)
 
 
+@pytest.mark.slow
 def test_merizo_forward_parity(torch_merizo, jax_params):
     feats = _synthetic_features(n=70)
 
@@ -100,6 +101,7 @@ def test_merizo_forward_parity(torch_merizo, jax_params):
     np.testing.assert_allclose(j_conf, t_conf, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_domain_confidences_nonzero_domains(torch_merizo, jax_params):
     """The confidence path with actual domains (the full-forward parity
     test exercises it only when random weights happen to segment, i.e.
@@ -180,6 +182,7 @@ def test_split_weight_roundtrip(tmp_path, torch_merizo):
     assert "merizo" in params and "confidence" in params
 
 
+@pytest.mark.slow
 def test_segment_runs_and_iterates(jax_params):
     """segment(): full protocol incl. the >2*DOM_AVE iterative split path
     (predict.py:40-120) runs end-to-end on a 420-residue chain."""
@@ -217,6 +220,7 @@ def test_cleanup_helpers():
     ]
 
 
+@pytest.mark.slow
 def test_learned_path_end_to_end(tmp_path, torch_merizo, monkeypatch):
     """split_chain_into_domains drives the learned path from a weights
     directory (split shards -> loader -> flax net -> domain PDB files)."""
@@ -308,6 +312,7 @@ def _write_chain_pdb(path, n=80, seed=1, resnames=None):
     return path
 
 
+@pytest.mark.slow
 def test_segment_oracle_vs_reference(tmp_path, torch_merizo):
     """The full production artifact chain vs the reference's own code:
     split ``weights_part_*.pt`` shards on disk -> shard merge -> network

@@ -7,6 +7,7 @@ end product against ground truth.
 """
 
 import numpy as np
+import pytest
 
 from mica_tpu.io import mrc as mrc_io
 from mica_tpu.io import pdb as pdb_io
@@ -32,6 +33,7 @@ def _write_inputs(tmp_path, ca, seq, density):
                         res_names_by_chain=[list(seq)])
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path):
     ca, seq, vols = make_scenario(n_res=60, shape=(64, 64, 64), seed=3)
     density = vols["backbone_probability"]  # protein-shaped density

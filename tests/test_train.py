@@ -117,6 +117,7 @@ def test_augment_joint_spatial_consistency(rng):
     assert found_changed, "no augmentation fired in 12 seeds"
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns():
     assert len(jax.devices()) == 8
     trainer = Trainer(base_filters=16, lr=3e-4, use_mesh=True,
@@ -136,6 +137,7 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0], f"no learning: {losses}"
 
 
+@pytest.mark.slow
 def test_train_step_bfloat16():
     """The production TPU training dtype: one bf16 step with augmentation
     and dropout (the bf16 grad path broke once on a mixed-dtype conv VJP)."""

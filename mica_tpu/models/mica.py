@@ -176,14 +176,23 @@ def _maybe_wino_in_relu(mod: nn.Module, x, features: int, train: bool,
     """
     if train and not _train_wino_convs():
         return None
+    from ..ops.wino_pallas import (wino_conv3d_in_relu_pallas,
+                                   wino_pallas_eligible)
     from ..ops.winograd import conv3d_wino_z_in_relu, wino_eligible
 
     kshape = (3, 3, 3, x.shape[-1], features)
-    if not wino_eligible(x.shape, kshape, mod.dtype):
+    use_pallas = wino_pallas_eligible(x.shape, kshape, mod.dtype)
+    if not use_pallas and not wino_eligible(x.shape, kshape, mod.dtype):
         return None
     if mod.dtype is not None:
         x = x.astype(mod.dtype)
     k, b = _NamedConvParams(kshape, features, name=name)()
+    if use_pallas:
+        # in-VMEM Winograd with fused IN statistics: 1.35x the direct
+        # conv+IN pair on v5e silicon (scripts/bench_wino_pallas.py)
+        return wino_conv3d_in_relu_pallas(
+            x, k, b, interpret=os.environ.get("MICA_WINO_PALLAS")
+            == "interpret")
     return conv3d_wino_z_in_relu(x, k, b)
 
 

@@ -1,0 +1,93 @@
+"""Pallas Winograd-z kernel (ops/wino_pallas.py): interpret-mode parity.
+
+The kernel must match the direct SAME conv (+ bias) and the fused
+conv+IN+ReLU reference to float-reassociation tolerance, including the
+z/y/x edge handling, multi-tile stats accumulation, and co-blocking.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mica_tpu.ops.wino_pallas import (wino_conv3d_in_relu_pallas,
+                                      wino_conv3d_pallas,
+                                      wino_pallas_eligible)
+
+
+def _direct(x, k, b):
+    out = lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision="highest")
+    return out + b
+
+
+@pytest.mark.parametrize("shape,co", [
+    ((1, 8, 8, 8, 16), 128),   # single co block, tiny
+    ((2, 12, 8, 16, 8), 256),  # multi-batch, two co blocks, H != W
+])
+def test_wino_pallas_matches_direct_f32(shape, co, rng):
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, shape[-1], co)) * 0.2,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    out, stats = wino_conv3d_pallas(x, k, b, interpret=True)
+    want = _direct(x, k, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    # stats are the IN sufficient statistics of the output
+    w64 = np.asarray(want, np.float64)
+    np.testing.assert_allclose(np.asarray(stats[:, 0]),
+                               w64.sum(axis=(1, 2, 3)), rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(stats[:, 1]),
+                               (w64 ** 2).sum(axis=(1, 2, 3)), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_wino_pallas_in_relu_matches_reference(rng):
+    from mica_tpu.models.mica import instance_norm
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 128)) * 0.3,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    got = wino_conv3d_in_relu_pallas(x, k, b, interpret=True)
+    want = jax.nn.relu(instance_norm(_direct(x, k, b)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_wino_pallas_eligibility(monkeypatch):
+    ks = (3, 3, 3, 512, 256)
+    xs = (8, 64, 64, 64, 512)
+    monkeypatch.delenv("MICA_WINO_PALLAS", raising=False)
+    assert not wino_pallas_eligible(xs, ks, jnp.bfloat16)  # opt-in only
+    monkeypatch.setenv("MICA_WINO_PALLAS", "interpret")
+    assert wino_pallas_eligible(xs, ks, jnp.float32)
+    assert not wino_pallas_eligible((8, 63, 64, 64, 512), ks, jnp.float32)
+    assert not wino_pallas_eligible(xs, (3, 3, 3, 512, 192), jnp.float32)
+    assert not wino_pallas_eligible((8, 4, 64, 64, 512), ks, jnp.float32)
+
+
+@pytest.mark.slow
+def test_wino_pallas_aot_compiles_for_v5e():
+    """AOT-compile the kernel for a v5e topology (no device needed):
+    catches Mosaic lowering failures and scoped-VMEM overflows interpret
+    mode cannot see — the exact failure modes of earlier kernels."""
+    jax_topologies = pytest.importorskip("jax.experimental.topologies")
+
+    try:
+        topo = jax_topologies.get_topology_desc("v5e:2x2")
+    except Exception as e:  # no local libtpu compiler
+        pytest.skip(f"no v5e topology compiler: {e}")
+    dev = topo.devices[0]
+
+    for ci, co in ((512, 256), (256, 512)):
+        x = jax.ShapeDtypeStruct((8, 64, 64, 64, ci), jnp.bfloat16)
+        k = jax.ShapeDtypeStruct((3, 3, 3, ci, co), jnp.float32)
+        b = jax.ShapeDtypeStruct((co,), jnp.float32)
+        fn = jax.jit(wino_conv3d_in_relu_pallas, device=dev)
+        fn.lower(x, k, b).compile()

@@ -221,6 +221,8 @@ def test_virtual_mesh_step_time_flatness():
     the comparison only needs to catch catastrophic regressions."""
     import time
 
+    import numpy as np
+
     import jax.numpy as jnp
 
     from mica_tpu.parallel.mesh import make_mesh

@@ -121,9 +121,76 @@ def _train_one(batch: int = 8, iters: int = 3):
     }
 
 
+def measure_baseline(n_batches: int = 8, batch: int = 4):
+    """Measure the REFERENCE torch model's own voxels/s on whatever
+    accelerator torch sees (VERDICT r3 #7: anchor the denominator).
+
+    Runs `/root/reference/models/model.py` MICA (imported as a black-box
+    oracle, random weights — throughput only) over the reference's own
+    sliding-window workload: batched 64-cube windows + 24-ch AF3 input,
+    fp32, `torch.no_grad()`, exactly predict.py:307-398's inner loop
+    shape.  On a CUDA host this REPLACES the derived 5.5e5 A100
+    estimate; on CPU it is a smoke test of the path (tiny geometry) and
+    the number is reported as `smoke=True`, not a baseline.
+    """
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from models.model import MICA as TorchMICA
+
+    cuda = torch.cuda.is_available()
+    if not cuda:
+        n_batches, batch, win = 1, 1, 16
+    else:
+        win = 64
+    dev = "cuda" if cuda else "cpu"
+    torch.manual_seed(0)
+    model = TorchMICA(base_filters=64).to(dev).eval()
+    x = torch.rand(batch, 1, win, win, win, device=dev)
+    af = (torch.rand(batch, 24, win, win, win, device=dev) < 0.01).float()
+    sm = torch.nn.Softmax(dim=1)
+    core = 48 if cuda else win  # reference stitches 48^3 cores of 64-wins
+
+    def run(n):
+        with torch.no_grad():
+            for _ in range(n):
+                bb, ca, aa = model(x, af)
+                _ = sm(torch.cat((bb[:, :1], bb[:, 2:]), dim=1))
+                _ = sm(torch.cat((ca[:, :1], ca[:, 2:]), dim=1))
+                s = sm(aa[:, 1:])
+                _ = torch.max(s, 1)[1]
+        if cuda:
+            torch.cuda.synchronize()
+
+    run(1)  # warmup
+    t0 = time.time()
+    run(n_batches)
+    dt = time.time() - t0
+    vps = n_batches * batch * core**3 / dt
+    return {
+        "metric": "reference_torch_voxels_per_s",
+        "value": round(vps, 1),
+        "unit": "core voxels/sec/device",
+        "device": torch.cuda.get_device_name(0) if cuda else "cpu",
+        "smoke": not cuda,
+        "windows": n_batches * batch,
+        "window": win,
+        "elapsed_s": round(dt, 3),
+        "estimate_in_use": A100_BASELINE_VOXELS_PER_SEC,
+        "note": ("measured on CUDA: use this as vs_baseline denominator"
+                 if cuda else
+                 "CPU smoke only; vs_baseline keeps the documented "
+                 "A100 estimate until a CUDA host runs this"),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if "--measure-baseline" in sys.argv:
+        print(json.dumps(measure_baseline()))
+        return
 
     # Persistent compilation cache: the bench host has a single CPU, so the
     # first XLA compile of the full network is expensive — cache it on disk.

@@ -291,7 +291,11 @@ def wino_eligible(x_shape, kernel_shape, dtype, m: int = 4) -> bool:
             return False
         if ci * co < _WINO_MIN_CICO:
             return False
-        verdict = _MEASURED_MODEL_VERDICTS.get(_device_kind())
-        if verdict is not None and (ci, co) not in verdict:
+        # unknown device kinds DECLINE in auto mode (no measured verdict
+        # means no evidence the formulation wins there — the only platform
+        # ever A/B'd measured it neutral-to-worse in-model); MICA_WINO=1
+        # is the explicit force for experiments / new-platform measurement
+        verdict = _MEASURED_MODEL_VERDICTS.get(_device_kind(), ())
+        if (ci, co) not in verdict:
             return False
     return True

@@ -55,6 +55,10 @@ def seed_cache_dir(path: str, seed_dir: str = _SEED_DIR) -> int:
         if (meta.get("jax") != jax.__version__
                 or meta.get("jaxlib") != jaxlib.__version__):
             return 0
+        # the destination may not exist yet when the cache dir came from
+        # jax config / env rather than ensure_compilation_cache's own
+        # makedirs path — jax itself creates it lazily on first write
+        os.makedirs(path, exist_ok=True)
         n = 0
         for name in os.listdir(seed_dir):
             if not name.endswith("-cache"):
@@ -63,13 +67,16 @@ def seed_cache_dir(path: str, seed_dir: str = _SEED_DIR) -> int:
             if os.path.exists(dst):
                 continue
             src = os.path.join(seed_dir, name)
-            try:
-                os.link(src, dst)
-            except OSError:
-                import shutil
+            try:  # one bad entry must not abort the rest of the seed
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    import shutil
 
-                shutil.copyfile(src, dst)
-            n += 1
+                    shutil.copyfile(src, dst)
+                n += 1
+            except Exception:  # noqa: BLE001
+                continue
         return n
     except Exception:  # noqa: BLE001 - seeding is an optimization
         return 0

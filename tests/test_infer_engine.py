@@ -256,7 +256,6 @@ def test_window_nonempty_matches_bruteforce(rng):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_engine_scale_sharded_dedup_384(params, rng):
     """Scale test (VERDICT r1 #7): a >=384-voxel sharding axis through
     shard_volumes + empty-window dedup TOGETHER, with an X core-count that

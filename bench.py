@@ -268,6 +268,17 @@ def main():
                 inference_s = min(inference_s, pred.timing["inference"])
             pred.timing["inference"] = inference_s
 
+            # free the realistic predictor's on-device state (outputs,
+            # volumes, accumulators) BEFORE the dense predictor builds:
+            # two live predictors at batch 8 exceed HBM
+            finite = bool(np.isfinite(
+                np.asarray(out["backbone_probability"][:8, :8, :8])).all())
+            inference_timing = dict(pred.timing)
+            del out, pred
+            import gc as _gc
+
+            _gc.collect()
+
             # fully-dense variant (every window carries density): isolates
             # raw model throughput from the empty-window dedup win
             pred_dense = SlidingWindowPredictor(
@@ -291,17 +302,12 @@ def main():
                 raise
             batch_size //= 2
 
-    finite = bool(
-        np.isfinite(np.asarray(out["backbone_probability"][:8, :8, :8])).all()
-    )
-    # free the predictors' on-device volumes BEFORE the training bench —
-    # the training state + step temporaries need the HBM
-    # keep only the numbers; the predictors' cached zero-cores and live jit
-    # executables pin HBM the training step needs (batch 8 uses nearly the
-    # whole 15.75 GB) — recompiles come from the persistent disk cache
-    inference_timing = dict(pred.timing)
+    # free the dense predictor's on-device state BEFORE the training
+    # bench — the training state + step temporaries need the HBM; the
+    # realistic predictor was already freed before the dense phase.
+    # Recompiles come from the persistent disk cache.
     dense_n_windows = int(pred_dense.timing["n_windows"])
-    del out, pred, pred_dense
+    del pred_dense
     import gc
 
     gc.collect()

@@ -169,10 +169,14 @@ def _maybe_wino_in_relu(mod: nn.Module, x, features: int, train: bool,
     """relu(instance_norm(conv3x3(x))) via the fused z-axis Winograd
     formulation when its gate passes (ops/winograd.py: TPU + bf16 +
     measured-win channel geometry, or MICA_WINO=1), else ``None`` — the
-    caller then takes the direct path.  The InstanceNorm statistics ride
-    the inverse-transform fusion, recovering the epilogue fusion the
-    direct conv gets for free.  Parameters live at the identical
-    ``<name>/Conv_0`` tree path; ``MICA_TRAIN_WINO=1`` opts training in.
+    caller then takes the direct path.  ``x`` may be a LIST of tensors
+    standing for their channel concatenation: the Pallas kernel absorbs
+    the concat (multi-operand read, never materialized in HBM — the RDB
+    conv3's 33.8 ms concat tax, PERFORMANCE.md round-3); the XLA paths
+    concatenate.  The InstanceNorm statistics ride the inverse-transform
+    fusion, recovering the epilogue fusion the direct conv gets for
+    free.  Parameters live at the identical ``<name>/Conv_0`` tree path;
+    ``MICA_TRAIN_WINO=1`` opts training in.
     """
     if train and not _train_wino_convs():
         return None
@@ -180,19 +184,31 @@ def _maybe_wino_in_relu(mod: nn.Module, x, features: int, train: bool,
                                    wino_pallas_eligible)
     from ..ops.winograd import conv3d_wino_z_in_relu, wino_eligible
 
-    kshape = (3, 3, 3, x.shape[-1], features)
-    use_pallas = wino_pallas_eligible(x.shape, kshape, mod.dtype)
-    if not use_pallas and not wino_eligible(x.shape, kshape, mod.dtype):
-        return None
+    parts = x if isinstance(x, (list, tuple)) else [x]
+    ci = sum(p.shape[-1] for p in parts)
+    kshape = (3, 3, 3, ci, features)
+    # Pallas branch is inference-only: pallas_call has no VJP rule, so
+    # under MICA_TRAIN_WINO=1 the training forward composes with the XLA
+    # formulation only (jax.grad would fail loudly at trace time).
+    use_pallas = (not train) and wino_pallas_eligible(
+        [p.shape for p in parts], kshape, mod.dtype)
+    if not use_pallas:
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        if not wino_eligible(x.shape, kshape, mod.dtype):
+            return None
     if mod.dtype is not None:
-        x = x.astype(mod.dtype)
+        if use_pallas:
+            parts = [p.astype(mod.dtype) for p in parts]
+        else:
+            x = x.astype(mod.dtype)
     k, b = _NamedConvParams(kshape, features, name=name)()
     if use_pallas:
-        # in-VMEM Winograd with fused IN statistics: 1.35x the direct
-        # conv+IN pair on v5e silicon (scripts/bench_wino_pallas.py)
+        # in-VMEM Winograd with fused IN statistics, emitter-layout
+        # operands (ops/wino_pallas.py round-4): the custom-call
+        # boundaries are layout bitcasts, not transpose copies
         return wino_conv3d_in_relu_pallas(
-            x, k, b, interpret=os.environ.get("MICA_WINO_PALLAS")
-            == "interpret")
+            tuple(parts), k, b,
+            interpret=os.environ.get("MICA_WINO_PALLAS") == "interpret")
     return conv3d_wino_z_in_relu(x, k, b)
 
 
@@ -368,8 +384,12 @@ class ResidualDenseBlock(nn.Module):
         drop = ChannelDropout()
 
         def block(inp, features, name):
+            # inp may be a list (dense-connection concat): the wino
+            # Pallas path absorbs it in-kernel; others concatenate
             h = _maybe_wino_in_relu(self, inp, features, train, name)
             if h is None:
+                if isinstance(inp, (list, tuple)):
+                    inp = jnp.concatenate(inp, axis=-1)
                 h = Conv(features, 3, dtype=self.dtype,
                          fast=not train or _train_fast_convs(),
                          name=name)(inp)
@@ -378,8 +398,8 @@ class ResidualDenseBlock(nn.Module):
             return drop(h, dropout_rate, train)
 
         x1 = block(x, c // 2, "conv1")
-        x2 = block(jnp.concatenate([x, x1], axis=-1), c // 2, "conv2")
-        x3 = block(jnp.concatenate([x, x1, x2], axis=-1), c, "conv3")
+        x2 = block([x, x1], c // 2, "conv2")
+        x3 = block([x, x1, x2], c, "conv3")
         return SEBlock(c, dtype=self.dtype, name="se")(x3, dropout_rate, train)
 
 

@@ -1,27 +1,50 @@
-"""Pallas z-axis Winograd F(4,3) conv — transform domain in VMEM.
+"""Pallas z-axis Winograd F(4,3) conv — transform domain in VMEM, in the
+conv emitters' physical layout.
 
 The XLA-level Winograd study (ops/winograd.py, PERFORMANCE.md round-3)
-proved the MAC saving is real — the six per-point convs run at 97% of
-bf16 peak, halving the dominant convs' MXU time — but the transform
-domain (V: 1.5x input, M: 1.5x output) and the stranded InstanceNorm
-statistics round-trip through HBM at the platform's slow elementwise
-rates and cancel the win.  This kernel keeps EVERYTHING in VMEM:
+proved the MAC saving is real — the per-point convs run at 97% of bf16
+peak — but the transform-domain HBM traffic cancels it.  The round-3
+Pallas kernel kept the transform domain in VMEM and won 1.349x
+STANDALONE, yet lost in-model: TPU custom calls pin their operands to
+the default ``{4,3,2,1,0}`` layout while XLA's conv fusions emit
+``{4,0,3,2,1}`` (batch-in-sublanes), so every kernel boundary inserted
+~6.4 ms transpose copies and the RDB concat materialized (33.8 ms).
 
-  * grid (B, Co/128, D/4): per step one (4, H, W, Ci) z-tile of one
-    batch element, plus two single-row z-halo views (the depthwise
-    kernel's clamped-and-masked scheme) — HBM reads 1.5x the input, once;
-  * the input transform (V_p = sum_k BT[p,k] x_k) is a handful of VPU
-    combines over untiled z-rows of the slab — never written to HBM;
-  * per transform point, the 3x3 (y,x) conv becomes 3 MXU matmuls
-    (one per dy, with the 3 dx taps' kernels concatenated on lanes:
-    (H*W, Ci) x (Ci, 3*Co) -> f32), and the (dy, dx) spatial offsets are
-    applied to the f32 PRODUCT as sublane rolls + edge masks — f32
-    rolls lower on Mosaic (the bf16-rotate limitation never applies);
-  * the inverse transform accumulates the four output planes in f32
-    VMEM, adds the bias, and also accumulates the per-(batch, channel)
-    InstanceNorm partial sums (s1, s2) into a revisited stats block —
-    so the downstream IN needs no full-tensor reduction pass;
-  * output written once in the compute dtype.
+Round-4 fix (this file): the kernel consumes the tensor in the
+EMITTERS' OWN physical order.  A ``(B, D, H, W, C)`` activation with
+layout ``{4,0,3,2,1}`` is byte-identical to a ``(D, H, W*B, C)`` array
+in default layout, so the model-level wrapper does
+
+    x_T = jnp.transpose(x, (1, 2, 3, 0, 4)).reshape(D, H, W*B, C)
+
+and XLA folds both ops into layout bitcasts (measured:
+scripts/probe_layout_boundary.py — boundary tax 10.5 -> 3.1 ms on a
+copy-kernel sandwich; zero transpose copies in the custom-call chain).
+Bonus of the flattened ``R = W*B`` row axis: the second-minor dim is a
+full sublane multiple (512 at the production geometry), where a naive
+``(..., B=8, C)`` block would waste half of every bf16 (16, 128) tile.
+
+Kernel scheme (per grid step ``(co_blk, z_tile, h_blk, point)``):
+
+  * the input transform (V_p = sum_k BT[p,k] x_k) is VPU combines over
+    z-rows of the block, with single-row z/h halo views (clamped at
+    volume edges, masked in-kernel) — the transform never touches HBM;
+  * per transform point, the 3x3 (y,x) conv is 9 MXU matmuls
+    ((n, Ci) x (Ci, CO_BLK), n = h_blk*W*B); dy taps are free row
+    offsets into the h-padded transform slab, dx taps are applied to
+    the f32 PRODUCT as sublane rolls by B rows + column edge masks
+    (f32 rolls lower on Mosaic; the bf16-rotate limitation never
+    applies);
+  * a persistent f32 VMEM scratch accumulates the four output planes
+    across transform points (inverse transform);
+  * the per-(batch, channel) InstanceNorm sufficient statistics are
+    accumulated in-kernel via a tiny one-hot selector matmul
+    ((B, n) x (n, CO_BLK)) — rows of the flattened R axis interleave
+    (w, b), and the selector sums each batch's rows without any
+    layout-hostile reshape;
+  * multiple input operands are supported and concatenated on the
+    LANE axis inside the kernel — the RDB conv3's 256+128+128 concat
+    (reference models/model.py:103-134) never materializes in HBM.
 
 SAME zero-padding semantics match ``lax.conv_general_dilated`` exactly;
 the result equals the direct conv up to float reassociation (transform
@@ -46,269 +69,407 @@ from .winograd import AT4, BT4, G4
 M_TILE = 4          # F(4,3): 4 output z-planes per tile
 ALPHA = 6           # m + 2 transform points
 CO_BLK = 128        # output-channel block (one lane tile)
+H_BLK = 8           # h rows per grid step (n = H_BLK*W*B rows per matmul)
 
 
-def _kernel(bt_ref, at_ref, lo_ref, x_ref, hi_ref, wt_ref, b_ref,
-            out_ref, stats_ref, acc_ref):
-    """Grid (B, Co/128, D/4, ALPHA): one transform point per step.
+def _make_kernel(n_inputs: int, h_blk: int, w: int, b_sz: int):
+    def kernel(*refs):
+        bt_ref, at_ref = refs[0], refs[1]
+        in_refs = refs[2:2 + 9 * n_inputs]
+        wt_ref, bias_ref, out_ref, stats_ref, acc_ref = refs[2 + 9 * n_inputs:]
 
-    The p axis rides the GRID so the per-step working set stays small
-    (one (3, Ci, 3*CO_BLK) wt slice instead of all six points — the
-    all-points variant double-buffered a 14 MB wt block and overflowed
-    the scoped-VMEM arena by ~3 MB).  ``acc_ref`` is a persistent f32
-    VMEM scratch holding the four output planes across the p steps; the
-    x/lo/hi blocks keep the same index across them, so Mosaic elides
-    their re-DMA.  ``stats_ref`` is the revisited (1, 2, CO_BLK)
-    InstanceNorm partial-sum block (s1, s2 over this batch element /
-    channel block).
-    """
-    t = pl.program_id(2)
-    nt = pl.num_programs(2)
-    pp = pl.program_id(3)
-    _, m, h, w, ci = x_ref.shape
-    co = out_ref.shape[-1]
-    n = h * w
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+        hb = pl.program_id(2)
+        nh = pl.num_programs(2)
+        pp = pl.program_id(3)
+        co = out_ref.shape[-1]
+        n = h_blk * w * b_sz
 
-    @pl.when((t == 0) & (pp == 0))
-    def _init_stats():
-        stats_ref[...] = jnp.zeros_like(stats_ref)
+        @pl.when((t == 0) & (hb == 0) & (pp == 0))
+        def _init_stats():
+            stats_ref[...] = jnp.zeros_like(stats_ref)
 
-    @pl.when(pp == 0)
-    def _init_acc():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(pp == 0)
+        def _init_acc():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    dt = x_ref.dtype
-    lo = jnp.where(t > 0, lo_ref[0, 0], 0.0).astype(dt)
-    hi = jnp.where(t < nt - 1, hi_ref[0, 0], 0.0).astype(dt)
+        vpads = []
+        for i in range(n_inputs):
+            (z_lo, x_r, z_hi, h_lo, hl_zlo, hl_zhi,
+             h_hi, hh_zlo, hh_zhi) = in_refs[9 * i:9 * i + 9]
+            dt = x_r.dtype
 
-    def tap(k):
-        if k == 0:
-            return lo
-        if k == ALPHA - 1:
-            return hi
-        return x_ref[0, k - 1]
+            zlo = jnp.where(t > 0, z_lo[0], 0.0).astype(dt)
+            zhi = jnp.where(t < nt - 1, z_hi[0], 0.0).astype(dt)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % w
-    not_first_col = col != 0
-    not_last_col = col != w - 1
+            def tap(k, zlo=zlo, zhi=zhi, x_r=x_r):
+                if k == 0:
+                    return zlo
+                if k == ALPHA - 1:
+                    return zhi
+                return x_r[k - 1]
 
-    # input transform on the VPU: V_p = sum_k BT[p, k] slab[k]
-    vp = None
-    for k in range(ALPHA):
-        term = tap(k) * bt_ref[pp, k].astype(dt)
-        vp = term if vp is None else vp + term
-    # SAME zero padding in y once; dy taps become plain row offsets
-    zero_row = jnp.zeros((1, w, ci), dt)
-    vpad = jnp.concatenate([zero_row, vp, zero_row], axis=0)
+            # h-halo taps (one row), with the same z-edge masking
+            hzlo = jnp.where(t > 0, hl_zlo[0, 0], 0.0).astype(dt)
+            hzhi = jnp.where(t < nt - 1, hl_zhi[0, 0], 0.0).astype(dt)
+            gzlo = jnp.where(t > 0, hh_zlo[0, 0], 0.0).astype(dt)
+            gzhi = jnp.where(t < nt - 1, hh_zhi[0, 0], 0.0).astype(dt)
 
-    mp = jnp.zeros((n, co), jnp.float32)
-    for dy in range(3):
-        lhs = vpad[dy:dy + h].reshape(n, ci)
-        wslice = wt_ref[dy]
-        for dx in range(3):
-            prod = jnp.dot(lhs, wslice[:, dx * co:(dx + 1) * co],
-                           preferred_element_type=jnp.float32)
-            if dx == 0:
-                prod = jnp.where(not_first_col,
-                                 pltpu.roll(prod, 1, 0), 0.0)
-            elif dx == 2:
-                prod = jnp.where(not_last_col,
-                                 pltpu.roll(prod, n - 1, 0), 0.0)
-            mp = mp + prod
+            def tap_hlo(k, hzlo=hzlo, hzhi=hzhi, h_lo=h_lo):
+                if k == 0:
+                    return hzlo
+                if k == ALPHA - 1:
+                    return hzhi
+                return h_lo[k - 1, 0]
 
-    # inverse transform: fold this point into each output plane
-    for j in range(M_TILE):
-        acc_ref[j] += mp * at_ref[j, pp]
+            def tap_hhi(k, gzlo=gzlo, gzhi=gzhi, h_hi=h_hi):
+                if k == 0:
+                    return gzlo
+                if k == ALPHA - 1:
+                    return gzhi
+                return h_hi[k - 1, 0]
 
-    @pl.when(pp == ALPHA - 1)
-    def _emit():
-        bias = b_ref[0].astype(jnp.float32)
-        s1 = jnp.zeros((co,), jnp.float32)
-        s2 = jnp.zeros((co,), jnp.float32)
+            # input transform on the VPU: V_p = sum_k BT[p, k] slab[k]
+            vp = vlo = vhi = None
+            for k in range(ALPHA):
+                c = bt_ref[pp, k].astype(dt)
+                tm, tl, th = tap(k) * c, tap_hlo(k) * c, tap_hhi(k) * c
+                vp = tm if vp is None else vp + tm
+                vlo = tl if vlo is None else vlo + tl
+                vhi = th if vhi is None else vhi + th
+            # SAME zero padding in y: halo rows masked at volume edges
+            vlo = jnp.where(hb > 0, vlo, 0.0).astype(vp.dtype)
+            vhi = jnp.where(hb < nh - 1, vhi, 0.0).astype(vp.dtype)
+            vpads.append(
+                jnp.concatenate([vlo[None], vp, vhi[None]], axis=0))
+
+        vpad = vpads[0] if n_inputs == 1 else jnp.concatenate(vpads, axis=-1)
+        ci_tot = vpad.shape[-1]
+
+        col = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // b_sz) % w
+        not_first_col = col != 0
+        not_last_col = col != w - 1
+
+        mp = jnp.zeros((n, co), jnp.float32)
+        for dy in range(3):
+            lhs = vpad[dy:dy + h_blk].reshape(n, ci_tot)
+            wslice = wt_ref[dy]
+            for dx in range(3):
+                prod = jnp.dot(lhs, wslice[:, dx * co:(dx + 1) * co],
+                               preferred_element_type=jnp.float32)
+                # dx spatial offset on the f32 product: roll by B rows
+                # (rows interleave (w, b) with b minor)
+                if dx == 0:
+                    prod = jnp.where(not_first_col,
+                                     pltpu.roll(prod, b_sz, 0), 0.0)
+                elif dx == 2:
+                    prod = jnp.where(not_last_col,
+                                     pltpu.roll(prod, n - b_sz, 0), 0.0)
+                mp = mp + prod
+
+        # inverse transform: fold this point into each output plane
         for j in range(M_TILE):
-            oj = acc_ref[j] + bias
-            s1 = s1 + jnp.sum(oj, axis=0)
-            s2 = s2 + jnp.sum(oj * oj, axis=0)
-            out_ref[0, j] = oj.reshape(h, w, co).astype(out_ref.dtype)
-        stats_ref[0, 0] += s1
-        stats_ref[0, 1] += s2
+            acc_ref[j] += mp * at_ref[j, pp]
+
+        @pl.when(pp == ALPHA - 1)
+        def _emit():
+            bias = bias_ref[0].astype(jnp.float32)
+            # one-hot batch selector: row r of the flattened (h, w, b)
+            # axis belongs to batch r % b — S @ oj sums each batch's rows
+            rows_mod = jax.lax.broadcasted_iota(
+                jnp.int32, (b_sz, n), 1) % b_sz
+            bids = jax.lax.broadcasted_iota(jnp.int32, (b_sz, n), 0)
+            sel = (rows_mod == bids).astype(jnp.float32)
+            s1 = jnp.zeros((b_sz, co), jnp.float32)
+            s2 = jnp.zeros((b_sz, co), jnp.float32)
+            for j in range(M_TILE):
+                oj = acc_ref[j] + bias
+                s1 = s1 + jnp.dot(sel, oj,
+                                  preferred_element_type=jnp.float32)
+                s2 = s2 + jnp.dot(sel, oj * oj,
+                                  preferred_element_type=jnp.float32)
+                out_ref[j] = oj.reshape(h_blk, w * b_sz, co).astype(
+                    out_ref.dtype)
+            stats_ref[:, 0] += s1
+            stats_ref[:, 1] += s2
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def wino_conv3d_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
-                       bias: jnp.ndarray, interpret: bool = False):
-    """3x3x3 SAME stride-1 conv + bias via in-VMEM Winograd F(4,3).
-
-    x (B, D, H, W, Ci) with D % 4 == 0; kernel (3, 3, 3, Ci, Co) f32;
-    bias (Co,).  Returns (out (B, D, H, W, Co) in x.dtype,
-    stats (B, 2, Co) f32) where stats[:, 0]/stats[:, 1] are the
-    per-(batch, channel) sums of out and out^2 over (D, H, W) — the
-    InstanceNorm sufficient statistics, computed for free in-kernel.
-    """
-    b, d, h, w, ci = x.shape
-    co_total = kernel.shape[-1]
-    assert d % M_TILE == 0 and co_total % CO_BLK == 0, (d, co_total)
-    nt = d // M_TILE
+def _transform_weights(kernel, dtype):
+    """(3,3,3,Ci,Co) f32 -> (ALPHA*3, Ci, nco*3*CO_BLK) in the compute
+    dtype: per transform point / dy, the 3 dx taps' kernels concatenated
+    on lanes per co-block so the in-kernel dx slices are 128-aligned."""
+    ci, co_total = kernel.shape[3], kernel.shape[4]
     nco = co_total // CO_BLK
-
-    # kernel transform in f32 (exact binary fractions), then the compute
-    # dtype; lane layout (co_block, dx, CO_BLK) so the per-co-block
-    # BlockSpec slice is contiguous and the in-kernel dx slices are
-    # 128-lane aligned
     g = jnp.asarray(G4)  # (ALPHA, 3)
     wt = jnp.einsum("pz,zyxio->pyxio", g, kernel)  # (ALPHA,dy,dx,Ci,Co)
     wt = jnp.transpose(wt, (0, 1, 3, 2, 4))  # (ALPHA, dy, Ci, dx, Co)
     wt = wt.reshape(ALPHA * 3, ci, 3, nco, CO_BLK)
     wt = jnp.transpose(wt, (0, 1, 3, 2, 4)).reshape(
-        ALPHA * 3, ci, nco * 3 * CO_BLK).astype(x.dtype)
+        ALPHA * 3, ci, nco * 3 * CO_BLK)
+    return wt.astype(dtype)
 
-    blk = (1, M_TILE, h, w, ci)
-    row = (1, 1, h, w, ci)
-    lo_spec = pl.BlockSpec(
-        row, lambda bi, co, t, p: (bi, jnp.clip(t * M_TILE - 1, 0, d - 1),
-                                   0, 0, 0),
-        memory_space=pltpu.VMEM)
-    hi_spec = pl.BlockSpec(
-        row,
-        lambda bi, co, t, p: (bi, jnp.clip(t * M_TILE + M_TILE, 0, d - 1),
-                              0, 0, 0),
-        memory_space=pltpu.VMEM)
+
+def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
+    """Core kernel on emitter-layout inputs.
+
+    xs: list of (D, H, R, Ci_i) arrays (R = W*B, all same D/H/R);
+    wt: transformed weights from ``_transform_weights``; bias (Co,) f32.
+    Returns (out (D, H, R, Co) in x dtype, stats (B, 2, Co) f32) where
+    stats are the per-(batch, channel) sums of out and out^2.
+    """
+    d, h, r, _ = xs[0].shape
+    ci_tot = sum(x.shape[-1] for x in xs)
+    co_total = wt.shape[-1] // 3
+    assert d % M_TILE == 0 and co_total % CO_BLK == 0, (d, co_total)
+    h_blk = H_BLK if h % H_BLK == 0 else 1
+    assert h % h_blk == 0
+    nt, nh, nco = d // M_TILE, h // h_blk, co_total // CO_BLK
+
+    def in_specs_for(ci):
+        def spec(zc, hc, zmap, hmap):
+            return pl.BlockSpec(
+                (zc, hc, r, ci),
+                lambda co, t, hb, p, zm=zmap, hm=hmap: (zm(t), hm(hb), 0, 0),
+                memory_space=pltpu.VMEM)
+
+        z_of_t = lambda t: t
+        zlo = lambda t: jnp.clip(t * M_TILE - 1, 0, d - 1)
+        zhi = lambda t: jnp.clip(t * M_TILE + M_TILE, 0, d - 1)
+        h_of = lambda hb: hb
+        hlo = lambda hb: jnp.clip(hb * h_blk - 1, 0, h - 1)
+        hhi = lambda hb: jnp.clip((hb + 1) * h_blk, 0, h - 1)
+        return [
+            spec(1, h_blk, zlo, h_of),
+            spec(M_TILE, h_blk, z_of_t, h_of),
+            spec(1, h_blk, zhi, h_of),
+            spec(M_TILE, 1, z_of_t, hlo),
+            spec(1, 1, zlo, hlo),
+            spec(1, 1, zhi, hlo),
+            spec(M_TILE, 1, z_of_t, hhi),
+            spec(1, 1, zlo, hhi),
+            spec(1, 1, zhi, hhi),
+        ]
 
     bt = jnp.asarray(BT4, jnp.float32)
     at = jnp.asarray(AT4, jnp.float32)
     smem = pltpu.SMEM
+    in_specs = [
+        pl.BlockSpec((ALPHA, ALPHA), lambda co, t, hb, p: (0, 0),
+                     memory_space=smem),
+        pl.BlockSpec((M_TILE, ALPHA), lambda co, t, hb, p: (0, 0),
+                     memory_space=smem),
+    ]
+    args = [bt, at]
+    for x in xs:
+        in_specs.extend(in_specs_for(x.shape[-1]))
+        args.extend([x] * 9)
+    in_specs.extend([
+        # one point's (3, Ci, 3*CO_BLK) slice of the transformed kernel
+        # per grid step (the all-points block double-buffers 6x the VMEM)
+        pl.BlockSpec((3, ci_tot, 3 * CO_BLK),
+                     lambda co, t, hb, p: (p, 0, co),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CO_BLK), lambda co, t, hb, p: (0, co),
+                     memory_space=pltpu.VMEM),
+    ])
+    args.extend([wt, bias.reshape(1, co_total).astype(jnp.float32)])
+
+    n = h_blk * r
     out, stats = pl.pallas_call(
-        _kernel,
-        grid=(b, nco, nt, ALPHA),
-        in_specs=[
-            pl.BlockSpec((ALPHA, ALPHA), lambda bi, co, t, p: (0, 0),
-                         memory_space=smem),
-            pl.BlockSpec((M_TILE, ALPHA), lambda bi, co, t, p: (0, 0),
-                         memory_space=smem),
-            lo_spec,
-            pl.BlockSpec(blk, lambda bi, co, t, p: (bi, t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            hi_spec,
-            # one point's (3, Ci, 3*CO_BLK) slice of the transformed
-            # kernel per grid step (the full-points block double-buffered
-            # 14 MB and overflowed the arena)
-            pl.BlockSpec((3, ci, 3 * CO_BLK),
-                         lambda bi, co, t, p: (p, 0, co),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CO_BLK), lambda bi, co, t, p: (0, co),
-                         memory_space=pltpu.VMEM),
-        ],
+        _make_kernel(len(xs), h_blk, w, b_sz),
+        grid=(nco, nt, nh, ALPHA),
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, M_TILE, h, w, CO_BLK),
-                         lambda bi, co, t, p: (bi, t, 0, 0, co),
+            pl.BlockSpec((M_TILE, h_blk, r, CO_BLK),
+                         lambda co, t, hb, p: (t, hb, 0, co),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, CO_BLK), lambda bi, co, t, p: (bi, 0, co),
+            pl.BlockSpec((b_sz, 2, CO_BLK),
+                         lambda co, t, hb, p: (0, 0, co),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, d, h, w, co_total), x.dtype),
-            jax.ShapeDtypeStruct((b, 2, co_total), jnp.float32),
+            jax.ShapeDtypeStruct((d, h, r, co_total), xs[0].dtype),
+            jax.ShapeDtypeStruct((b_sz, 2, co_total), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((M_TILE, h * w, CO_BLK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((M_TILE, n, CO_BLK), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             # stats/out/acc are revisited across grid dims: all sequential
             dimension_semantics=("arbitrary",) * 4,
             vmem_limit_bytes=100 << 20,
         ),
-    )(bt, at, x, x, x, wt, bias.reshape(1, co_total).astype(jnp.float32))
+    )(*args)
     return out, stats
+
+
+def _to_T(x):
+    """(B, D, H, W, C) logical -> (D, H, W*B, C): byte-identical to the
+    conv emitters' {4,0,3,2,1} layout, so both ops fold to bitcasts."""
+    b, d, h, w, c = x.shape
+    return jnp.transpose(x, (1, 2, 3, 0, 4)).reshape(d, h, w * b, c)
+
+
+def _from_T(xt, b, w):
+    d, h, r, c = xt.shape
+    return jnp.transpose(xt.reshape(d, h, w, b, c), (3, 0, 1, 2, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wino_conv3d_pallas(x, kernel: jnp.ndarray, bias: jnp.ndarray,
+                       interpret: bool = False):
+    """3x3x3 SAME stride-1 conv + bias via in-VMEM Winograd F(4,3).
+
+    x: (B, D, H, W, Ci) with D % 4 == 0 — or a sequence of such arrays
+    differing only in Ci, treated as their channel concatenation without
+    ever materializing it.  kernel (3, 3, 3, sum Ci, Co) f32; bias (Co,).
+    Returns (out (B, D, H, W, Co) in x.dtype, stats (B, 2, Co) f32)
+    where stats[:, 0]/stats[:, 1] are the per-(batch, channel) sums of
+    out and out^2 over (D, H, W) — the InstanceNorm sufficient
+    statistics, computed for free in-kernel.
+    """
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    b, d, h, w, _ = xs[0].shape
+    wt = _transform_weights(kernel, xs[0].dtype)
+    out_t, stats = _wino_T([_to_T(xi) for xi in xs], wt, bias, w, b,
+                           interpret)
+    return _from_T(out_t, b, w), stats
 
 
 def _apply_kernel(out_ref, ms_ref, y_ref):
     """y = relu((out - mean) * scale): a roofline elementwise pass (the
     equivalent XLA fusion measured ~100 GB/s — 21.6 ms per 512-ch apply
-    — against the ~2.7 GB/s*ms HBM bound)."""
-    m = ms_ref[0, 0].astype(out_ref.dtype)
-    sc = ms_ref[0, 1].astype(out_ref.dtype)
-    y_ref[...] = jax.nn.relu((out_ref[...] - m) * sc)
+    — against the ~2.7 GB/s*ms HBM bound).  ``ms_ref`` carries the
+    mean/scale pre-expanded along the flattened (w, b) row axis."""
+    m = ms_ref[0].astype(out_ref.dtype)
+    sc = ms_ref[1].astype(out_ref.dtype)
+    y_ref[...] = jax.nn.relu((out_ref[...] - m[None]) * sc[None])
 
 
-def _in_apply_pallas(out: jnp.ndarray, mean: jnp.ndarray,
-                     scale: jnp.ndarray, d_blk: int = 4) -> jnp.ndarray:
-    b, d, h, w, co = out.shape
-    while d % d_blk:
-        d_blk -= 1
-    ms = jnp.stack([mean, scale], axis=1)  # (B, 2, Co) f32
+def _in_apply_T(out, ms_rows):
+    """out (D, H, R, Co); ms_rows (2, R, Co) f32 row-expanded mean/scale."""
+    d, h, r, co = out.shape
     return pl.pallas_call(
         _apply_kernel,
-        grid=(b, co // CO_BLK, d // d_blk),
+        grid=(co // CO_BLK, d),
         in_specs=[
-            pl.BlockSpec((1, d_blk, h, w, CO_BLK),
-                         lambda bi, c, t: (bi, t, 0, 0, c),
+            pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, CO_BLK), lambda bi, c, t: (bi, 0, c),
+            pl.BlockSpec((2, r, CO_BLK), lambda c, t: (0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d_blk, h, w, CO_BLK),
-                               lambda bi, c, t: (bi, t, 0, 0, c),
+        out_specs=pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+        # the conv output is dead after the apply: write y into its
+        # buffer (saves one full-tensor HBM allocation per conv — the
+        # wino path's +1 GB step-peak vs direct came from exactly this
+        # out_t/y liveness overlap)
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel"),
             # the surrounding model program compiles with the 32 MB
             # scoped-VMEM option; this kernel sizes its own arena
             vmem_limit_bytes=64 << 20),
-    )(out, ms)
+    )(out, ms_rows)
 
 
-def wino_conv3d_in_relu_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
-                               bias: jnp.ndarray, eps: float = 1e-5,
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def wino_conv3d_in_relu_pallas(x, kernel: jnp.ndarray, bias: jnp.ndarray,
+                               eps: float = 1e-5,
                                interpret: bool = False) -> jnp.ndarray:
     """relu(instance_norm(conv3x3(x) + bias)) with the conv and the IN
     sufficient statistics computed in one Pallas pass, and the
     normalize-apply as a second roofline Pallas pass (XLA's equivalent
-    elementwise fusion runs ~5x above the HBM bound here).
+    elementwise fusion runs ~5x above the HBM bound here).  ``x`` may be
+    a sequence of arrays (channel concatenation absorbed in-kernel).
 
     Matches models.mica's ``instance_norm`` math: f32 statistics in the
     E[x^2]-E[x]^2 form, variance clamped at 0, bf16 apply."""
-    out, stats = wino_conv3d_pallas(x, kernel, bias, interpret=interpret)
-    _, d, h, w, _ = x.shape
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    b, d, h, w, _ = xs[0].shape
+    wt = _transform_weights(kernel, xs[0].dtype)
+    out_t, stats = _wino_T([_to_T(xi) for xi in xs], wt, bias, w, b,
+                           interpret)
     n = float(d * h * w)
     mean = stats[:, 0] / n                    # (B, Co) f32
     var = jnp.maximum(stats[:, 1] / n - jax.lax.square(mean), 0.0)
     scale = jax.lax.rsqrt(var + eps)
     if not interpret and jax.default_backend() == "tpu":
-        return _in_apply_pallas(out, mean, scale)
+        # expand (B, Co) stats along the flattened (w, b) row axis once
+        # (tiny (2, R, Co) f32 tensor) so the apply kernel broadcasts
+        # rows directly in the emitter layout
+        ms = jnp.stack([mean, scale])         # (2, B, Co)
+        ms_rows = jnp.broadcast_to(
+            ms[:, None], (2, w, b, mean.shape[-1])).reshape(
+                2, w * b, mean.shape[-1])
+        return _from_T(_in_apply_T(out_t, ms_rows), b, w)
+    out = _from_T(out_t, b, w)
     dt = out.dtype
     mean_c = mean.astype(dt)[:, None, None, None, :]
     scale_c = scale.astype(dt)[:, None, None, None, :]
     return jax.nn.relu((out - mean_c) * scale_c)
 
 
+# Per-device-kind measured IN-MODEL verdicts (scripts/bench_model_dispatch
+# A/B, PERFORMANCE.md round-4): channel geometries where the emitter-layout
+# kernel beats XLA's direct conv inside the full model step.  Unknown
+# device kinds DECLINE in auto mode (same measured-verdict pattern as the
+# depthwise registry); MICA_WINO_PALLAS=1 forces for experiments.
+_MEASURED_MODEL_WINS = {
+    # v5e (2026-08-20): 60.2 -> 57.2 ms/window with the two dominant
+    # convs; 55.5 with all five co%128 geometries; adding (64, 128)
+    # regressed to 55.9 — excluded.  scripts/bench_model_dispatch.py
+    # under MICA_WINO_PALLAS=1 + MICA_WINO_PALLAS_MIN re-measures.
+    "TPU v5 lite": ((512, 256), (256, 512), (256, 128), (384, 128),
+                    (128, 256)),
+}
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def wino_pallas_eligible(x_shape, kernel_shape, dtype) -> bool:
-    """Gate for the production model path: operator-controlled for now
-    (``MICA_WINO_PALLAS=1`` / ``interpret``), plus the structural rules
-    the kernel requires.  A measured per-platform default is added only
-    after the in-model A/B (the XLA wino study showed standalone wins do
-    not transfer automatically)."""
+    """Gate for the production model path: measured per-platform default
+    (``_MEASURED_MODEL_WINS``), with ``MICA_WINO_PALLAS`` as operator
+    override ("0" force off, "1" force on, "interpret" for CPU parity
+    tests).  ``x_shape`` may be a sequence of shapes (the concat-absorbed
+    multi-operand form); structural rules below are the kernel's."""
     env = os.environ.get("MICA_WINO_PALLAS", "")
-    if env not in ("1", "interpret"):
+    if env == "0":
         return False
+    if env not in ("1", "interpret") and jax.default_backend() != "tpu":
+        return False
+    shapes = (list(x_shape) if x_shape and isinstance(x_shape[0], (tuple, list))
+              else [x_shape])
     if len(kernel_shape) != 5 or tuple(kernel_shape[:3]) != (3, 3, 3):
         return False
-    if len(x_shape) != 5 or x_shape[4] != kernel_shape[3]:
+    if any(len(s) != 5 for s in shapes):
         return False
-    b, d, h, w, ci = x_shape
-    co = kernel_shape[4]
+    if any(tuple(s[:4]) != tuple(shapes[0][:4]) for s in shapes):
+        return False
+    if sum(s[4] for s in shapes) != kernel_shape[3]:
+        return False
+    b, d, h, w, _ = shapes[0]
+    ci, co = kernel_shape[3], kernel_shape[4]
     if d % M_TILE or d < 2 * M_TILE or co % CO_BLK:
         return False
-    if (h * w) % 8 or w < 8:
+    if h % H_BLK or (w * b) % 8 or w < 8:
         return False
     if env != "interpret" and jax.default_backend() != "tpu":
         return False
     if env != "interpret" and dtype != jnp.bfloat16:
         return False
-    # measured-win channel geometries only (the 512x256 pair measured
-    # 1.35x on v5e; smaller geometries pay the kernel's fixed VPU work
-    # against far fewer MACs and are enabled only after their own A/B);
-    # MICA_WINO_PALLAS_MIN overrides for experiments
-    min_cico = int(os.environ.get("MICA_WINO_PALLAS_MIN", 512 * 256))
-    if env != "interpret" and ci * co < min_cico:
-        return False
-    return True
+    if env in ("1", "interpret"):
+        # forced mode: MICA_WINO_PALLAS_MIN selects geometries for
+        # experiments / new-platform measurement
+        min_cico = int(os.environ.get("MICA_WINO_PALLAS_MIN", 512 * 256))
+        return env == "interpret" or ci * co >= min_cico
+    # auto mode: only measured in-model wins for THIS device kind
+    return (ci, co) in _MEASURED_MODEL_WINS.get(_device_kind(), ())

@@ -60,16 +60,55 @@ def test_wino_pallas_in_relu_matches_reference(rng):
                                atol=5e-4, rtol=1e-3)
 
 
+def test_wino_pallas_multi_input_absorbs_concat(rng):
+    """A list of inputs must equal the conv of their channel concat —
+    the RDB conv3 concat-absorption path (reference models/model.py:
+    103-134's dense connections)."""
+    shapes = [(2, 8, 8, 8, 16), (2, 8, 8, 8, 8), (2, 8, 8, 8, 8)]
+    xs = [jnp.asarray(rng.standard_normal(s), jnp.float32) for s in shapes]
+    ci = sum(s[-1] for s in shapes)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, ci, 128)) * 0.2,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    out, stats = wino_conv3d_pallas(tuple(xs), k, b, interpret=True)
+    want = _direct(jnp.concatenate(xs, axis=-1), k, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    w64 = np.asarray(want, np.float64)
+    np.testing.assert_allclose(np.asarray(stats[:, 0]),
+                               w64.sum(axis=(1, 2, 3)), rtol=1e-4, atol=1e-3)
+
+
 def test_wino_pallas_eligibility(monkeypatch):
+    import mica_tpu.ops.wino_pallas as wp
+
     ks = (3, 3, 3, 512, 256)
     xs = (8, 64, 64, 64, 512)
     monkeypatch.delenv("MICA_WINO_PALLAS", raising=False)
-    assert not wino_pallas_eligible(xs, ks, jnp.bfloat16)  # opt-in only
+    # auto mode declines off-TPU (this suite runs on CPU)
+    assert not wino_pallas_eligible(xs, ks, jnp.bfloat16)
     monkeypatch.setenv("MICA_WINO_PALLAS", "interpret")
     assert wino_pallas_eligible(xs, ks, jnp.float32)
     assert not wino_pallas_eligible((8, 63, 64, 64, 512), ks, jnp.float32)
     assert not wino_pallas_eligible(xs, (3, 3, 3, 512, 192), jnp.float32)
     assert not wino_pallas_eligible((8, 4, 64, 64, 512), ks, jnp.float32)
+    # multi-operand form: channel split must sum to the kernel's Ci
+    parts = [(8, 64, 64, 64, 256), (8, 64, 64, 64, 128),
+             (8, 64, 64, 64, 128)]
+    assert wino_pallas_eligible(parts, ks, jnp.float32)
+    assert not wino_pallas_eligible(parts[:2], ks, jnp.float32)
+    # auto mode on a measured TPU platform: only measured geometries
+    monkeypatch.delenv("MICA_WINO_PALLAS", raising=False)
+    monkeypatch.setattr(wp.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(wp, "_device_kind", lambda: "TPU v5 lite")
+    assert wino_pallas_eligible(xs, ks, jnp.bfloat16)
+    assert not wino_pallas_eligible(
+        (8, 64, 64, 64, 64), (3, 3, 3, 64, 128), jnp.bfloat16)
+    monkeypatch.setattr(wp, "_device_kind", lambda: "TPU v9 future")
+    assert not wino_pallas_eligible(xs, ks, jnp.bfloat16)
+    monkeypatch.setattr(wp, "_device_kind", lambda: "TPU v5 lite")
+    monkeypatch.setenv("MICA_WINO_PALLAS", "0")
+    assert not wino_pallas_eligible(xs, ks, jnp.bfloat16)
 
 
 @pytest.mark.slow

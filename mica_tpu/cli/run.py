@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow_random_weights", action="store_true",
                    help="run without a trained checkpoint (random weights; "
                         "smoke tests only — the output model is meaningless)")
+    p.add_argument("--coord_mode", default="ccp4",
+                   choices=("ccp4", "reference"),
+                   help="PDB coordinate convention: 'ccp4' = (cand + "
+                        "nstart)*voxel + origin (correct for nonzero-origin "
+                        "maps); 'reference' = cand + nstart, byte-compatible "
+                        "with the reference's modeler.py:1775-1779")
     # external tools
     p.add_argument("--run_pulchra", action="store_true")
     p.add_argument("--pulchra_path", default="",
@@ -115,6 +121,7 @@ def main(argv=None) -> int:
         base_filters=args.base_filters,
         window_core=args.window_core,
         allow_random_weights=args.allow_random_weights,
+        coord_mode=args.coord_mode,
         run_pulchra=args.run_pulchra,
         pulchra_path=args.pulchra_path,
         run_phenix=args.run_phenix,

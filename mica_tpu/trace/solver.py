@@ -63,6 +63,13 @@ class ModelingConfig:
     # this pipeline has no RNG anywhere — deterministic by construction.
     seed: int = 2022
 
+    # Coordinate convention for emitted PDBs: "ccp4" (default) writes
+    # (candidate + nstart) * voxel + origin; "reference" reproduces the
+    # reference byte-for-byte — candidate + nstart, ignoring voxel size
+    # and map origin (modeler.py:1775-1779) — so a real-artifact run can
+    # diff final models directly on nonzero-origin maps.
+    coord_mode: str = "ccp4"
+
     run_pulchra: bool = False
     # Random weights produce a garbage model; a production run must load a
     # trained checkpoint or opt in explicitly (tests/benchmarks set this).
@@ -337,9 +344,14 @@ class Solver:
     # ==================================================================
     def _cand_world_coords(self, cand: int) -> np.ndarray:
         c = self.cands.coords[cand]
-        if self.prepared is not None:
-            return self.prepared.voxel_to_world(c)
-        return c
+        if self.prepared is None:
+            return c
+        if self.config.coord_mode == "reference":
+            # reference-exact output: candidate + nstart, no voxel
+            # scaling, no origin (modeler.py:1775-1779)
+            return np.asarray(c, np.float64) + np.asarray(
+                self.prepared.offset, np.float64)
+        return self.prepared.voxel_to_world(c)
 
     def _write_model(self, path: str, dedupe: bool) -> None:
         lines = []

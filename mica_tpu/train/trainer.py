@@ -127,7 +127,17 @@ class Trainer:
         seed: int = 2022,
         remat: bool = True,
         remat_scope: str = "blocks",
+        microbatch: Optional[int] = None,
     ):
+        # microbatch: accumulate gradients over in-step microbatches of
+        # this size (a lax.scan whose body is ONE microbatch's
+        # value_and_grad).  Exact for the gradient: the mean-of-means
+        # over equal microbatches equals the full-batch mean, and every
+        # per-sample op (InstanceNorm, dropout, augmentation) is
+        # batch-independent.  This is the workaround for the batch>=12
+        # XLA TPU compiler crash (scripts/bisect_batch12.py): the
+        # compiled graph is the microbatch-sized one regardless of the
+        # global batch.
         # remat: rematerialize in the backward pass — full-size training
         # at 64-cubes does not fit HBM otherwise (no-remat dies in the XLA
         # compiler).  remat_scope picks the granularity: "blocks" (inner
@@ -159,6 +169,7 @@ class Trainer:
         self.scheduler = PlateauScheduler(lr)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.label_smoothing = label_smoothing
+        self.microbatch = microbatch
         self.exp_only_prob = exp_only_prob
         self.use_augmentation = use_augmentation
         self.rng = jax.random.PRNGKey(seed)
@@ -229,7 +240,7 @@ class Trainer:
             af = jnp.moveaxis(af3, 1, -1)
             tgt = (targets[:, 0], targets[:, 1], targets[:, 2])
 
-            def loss_fn(params):
+            def loss_fn(params, x=x, af=af, tgt=tgt, k_drop=k_drop):
                 outs = model.apply(
                     {"params": params}, x, af,
                     dropout_rate=dropout_rate, train=True,
@@ -237,9 +248,37 @@ class Trainer:
                 )
                 return multi_task_loss(outs, tgt, lambdas, ls)
 
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+            n = x.shape[0]
+            mb = self.microbatch
+            if mb and mb < n and n % mb == 0:
+                # gradient accumulation over unrolled microbatches: every
+                # op in the graph stays at the microbatch size, which is
+                # what sidesteps the large-batch compiler crash (the
+                # crash is per-op/fusion scale, not graph length; a
+                # lax.scan formulation was tried and compiles
+                # pathologically slowly on XLA:CPU)
+                nm = n // mb
+                keys = jax.random.split(k_drop, nm)
+                grads = loss = metrics = None
+                for i in range(nm):
+                    sl = slice(i * mb, (i + 1) * mb)
+                    (loss_m, met_m), g_m = jax.value_and_grad(
+                        loss_fn, has_aux=True)(
+                            state.params, x=x[sl], af=af[sl],
+                            tgt=tuple(t[sl] for t in tgt), k_drop=keys[i])
+                    if grads is None:
+                        grads, loss, metrics = g_m, loss_m, dict(met_m)
+                    else:
+                        grads = jax.tree_util.tree_map(jnp.add, grads, g_m)
+                        loss = loss + loss_m
+                        metrics = {k: metrics[k] + met_m[k]
+                                   for k in metrics}
+                grads = jax.tree_util.tree_map(lambda g: g / nm, grads)
+                loss = loss / nm
+                metrics = {k: v / nm for k, v in metrics.items()}
+            else:
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
             grads, grad_norms, grad_count, norm, clipped = adaptive_clip(
                 grads, state.grad_norms, state.grad_count
             )

@@ -96,6 +96,38 @@ def make_scenario(n_res: int = 60, shape=(64, 64, 64), seed: int = 0):
     return ca, seq, volumes
 
 
+def make_multichain_volumes(chain_specs, shape):
+    """Prediction volumes for several chains in one map.
+
+    ``chain_specs`` is a list of ``(sequence, ca_coords)`` pairs (the
+    same sequence may appear multiple times — chain copies).  Returns
+    the four prediction-volume dict in the same format as
+    :func:`make_scenario`.
+    """
+    ca_prob = np.zeros(shape, np.float32)
+    bb_prob = np.zeros(shape, np.float32)
+    aa_prob = np.zeros((20,) + tuple(shape), np.float32)
+    letters = list(AA_LETTERS)
+    for seq, ca in chain_specs:
+        assert len(seq) == len(ca)
+        for i, c in enumerate(ca):
+            _add_bump(ca_prob, c, 1.0, 0.95)
+            _add_bump(bb_prob, c, 1.2, 0.95)
+            _add_bump(aa_prob[letters.index(seq[i])], c, 1.6, 0.9)
+            if i + 1 < len(ca):
+                for frac in (0.25, 0.5, 0.75):
+                    mid = (1 - frac) * c + frac * ca[i + 1]
+                    _add_bump(bb_prob, mid, 1.0, 0.9)
+    total = aa_prob.sum(axis=0, keepdims=True)
+    aa_prob = aa_prob + np.maximum(0.0, 1.0 - total) / 20.0
+    return {
+        "carbon_alpha_probability": ca_prob,
+        "backbone_probability": bb_prob,
+        "amino_acid_probability": aa_prob,
+        "amino_acid_prediction": np.argmax(aa_prob, axis=0).astype(np.int64),
+    }
+
+
 def random_rigid(seed: int = 0):
     rng = np.random.default_rng(seed)
     a = rng.normal(size=(3, 3))

@@ -128,6 +128,53 @@ def test_engine_sharded_volumes_match(params, rng):
                                    err_msg=key)
 
 
+@pytest.mark.slow
+def test_engine_sharded_production_geometry(rng):
+    """VERDICT r3 #6: the virtual-8 sharded engine at the PRODUCTION
+    geometry — base_filters=64, window 64 / core 48 / halo 8 — must
+    match the unsharded engine AND the direct forward + reference
+    postprocess semantics (utils/predict.py:439-512) bitwise-closely.
+    The reduced-size sharded tests can hide geometry-dependent bugs
+    (InstanceNorm window stats, halo crop arithmetic) that only the
+    real 64/48/8 layout exercises; one window lattice is enough."""
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    from mica_tpu.models.init import init_params_fast
+
+    model = MICA(base=64)
+    p64 = init_params_fast(
+        model, (jnp.zeros((1, 8, 8, 8, 1)), jnp.zeros((1, 8, 8, 8, 24))))
+    shape = (48, 48, 48)
+    vol = rng.random(shape).astype(np.float32)
+    af = (rng.random((24,) + shape) < 0.02).astype(np.float32)
+
+    core, halo = 48, 8
+    sharded = SlidingWindowPredictor(
+        params=p64, batch_size=8, dtype=jnp.float32, base_filters=64,
+        core=core, halo=halo, mesh=make_mesh(), shard_volumes=True,
+    ).predict_volume(vol, af)
+
+    # direct-forward oracle at the same geometry — this IS the unsharded
+    # engine's semantics (extract -> forward -> postprocess -> stitch),
+    # so one oracle covers both "matches unsharded" and "matches
+    # reference postprocess"
+    wins = np.asarray(window.extract_windows(jnp.asarray(vol), core, halo))
+    af_wins = np.stack(
+        [np.asarray(window.extract_windows(jnp.asarray(af[c]), core, halo))
+         for c in range(24)], axis=1)
+    bb, ca, aa = model.apply(
+        {"params": p64}, jnp.asarray(wins)[..., None],
+        jnp.moveaxis(jnp.asarray(af_wins), 1, -1))
+    bb_p, ca_p, aa_p = postprocess_logits(bb, ca, aa)
+    bb_v = np.asarray(window.stitch_windows(bb_p[..., 0], shape, core, halo))
+    aa_v = np.asarray(
+        window.stitch_windows(jnp.moveaxis(aa_p, -1, 1), shape, core, halo))
+
+    for key, want in (("backbone_probability", bb_v),
+                      ("amino_acid_probability", aa_v)):
+        np.testing.assert_allclose(sharded[key], want, atol=1e-4,
+                                   err_msg=f"sharded vs oracle: {key}")
+
+
 def test_engine_shard_volumes_requires_mesh(params):
     with pytest.raises(ValueError):
         SlidingWindowPredictor(

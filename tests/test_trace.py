@@ -121,6 +121,47 @@ def _entries_for(seq, af3_coords=None, chain_ids=("A",)):
     return [e]
 
 
+def test_coord_mode_reference_exact(tmp_path):
+    """--coord_mode reference must emit ``cand + nstart`` exactly
+    (modeler.py:1775-1779: no voxel scaling, no map origin), while the
+    default ccp4 mode emits ``(cand + nstart)*voxel + origin`` — on a
+    nonzero-origin, nonzero-nstart prepared map, round-tripped through
+    the written PDB."""
+    from mica_tpu.infer.pipeline import PreparedMap
+    from mica_tpu.io import pdb as pdb_io
+    from mica_tpu.trace.solver import ModelingConfig, Solver
+
+    coords = np.array([[1.25, 2.5, 3.0], [10.0, 11.5, 0.75]])
+    prepared = PreparedMap(
+        volume=np.zeros((4, 4, 4), np.float32),
+        offset=np.array([3.0, -2.0, 5.0]),
+        origin=np.array([10.0, -7.5, 2.25]),
+        voxel_size=1.0,
+    )
+
+    def write_and_read(mode):
+        cfg = ModelingConfig(fasta_path="x.fasta", protocol="AF3_struct",
+                             output_path=str(tmp_path / mode),
+                             coord_mode=mode)
+        sol = Solver(cfg)
+        sol.prepared = prepared
+        sol.cands = type("C", (), {"coords": coords})()
+        e = SequenceEntry(name="s", sequence="GA")
+        e.chains["A"] = ChainModel(chain_id="A", length=2,
+                                   result=np.array([0, 1]))
+        sol.entries = [e]
+        sol._write_model(sol.ca_model_path, dedupe=False)
+        atoms = pdb_io.parse_pdb(sol.ca_model_path)
+        return np.stack([atoms["x"], atoms["y"], atoms["z"]], axis=1)
+
+    got_ref = write_and_read("reference")
+    np.testing.assert_allclose(got_ref, coords + prepared.offset, atol=1e-3)
+    got_ccp4 = write_and_read("ccp4")
+    np.testing.assert_allclose(
+        got_ccp4, (coords + prepared.offset) * 1.0 + prepared.origin,
+        atol=1e-3)
+
+
 def _assignment_accuracy(entry, cands, true_ca):
     """fraction of sequence positions assigned to a candidate within 2.5
     voxels of the true CA of that position (direct or reversed trace)."""

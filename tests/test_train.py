@@ -137,6 +137,40 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0], f"no learning: {losses}"
 
 
+@pytest.mark.slow  # ~160 s of XLA:CPU compile for the two step variants
+def test_microbatch_accumulation_matches_full_batch():
+    """In-step gradient accumulation (the batch>=12 compiler-crash
+    workaround, scripts/bisect_batch12.py) must be EXACT: with dropout
+    off and augmentation off, the 2x4-microbatch step from the same
+    state produces the same post-step loss trajectory as the batch-8
+    step, to float-reassociation tolerance."""
+    size = 16
+    batch = data.synthetic_batch(batch_size=8, size=size)
+    lambdas = jnp.asarray(loss_mod.task_lambdas(0), jnp.float32)
+
+    results = []
+    for mb in (None, 4):
+        trainer = Trainer(base_filters=16, lr=3e-4, use_mesh=False,
+                          use_augmentation=False, exp_only_prob=0.0,
+                          seed=7, microbatch=mb)
+        state = trainer.init_state((1, size, size, size, 1))
+        # epoch 0 dropout is 0.01 > 0 — build a rate-0 step directly so
+        # the comparison is deterministic
+        step = trainer._build_train_step(0.0)
+        losses = []
+        for i in range(3):
+            state, metrics = step(
+                state, tuple(jnp.asarray(b) for b in batch), lambdas,
+                jax.random.PRNGKey(i))
+            losses.append(float(metrics["total_loss"]))
+        results.append(losses)
+    # float reassociation (sum-of-partial-means vs one mean) is amplified
+    # through Adam's rsqrt over the 3 steps — measured 5.5e-5 rel; a
+    # wrong accumulation (missing 1/nm, skipped microbatch) is >=1e-2
+    np.testing.assert_allclose(results[0], results[1], rtol=5e-4,
+                               err_msg="microbatch accumulation diverged")
+
+
 @pytest.mark.slow
 def test_train_step_bfloat16():
     """The production TPU training dtype: one bf16 step with augmentation

@@ -78,10 +78,10 @@ def _make_kernel(n_inputs: int, h_blk: int, w: int, b_sz: int):
         in_refs = refs[2:2 + 9 * n_inputs]
         wt_ref, bias_ref, out_ref, stats_ref, acc_ref = refs[2 + 9 * n_inputs:]
 
-        t = pl.program_id(1)
-        nt = pl.num_programs(1)
-        hb = pl.program_id(2)
-        nh = pl.num_programs(2)
+        t = pl.program_id(0)
+        nt = pl.num_programs(0)
+        hb = pl.program_id(1)
+        nh = pl.num_programs(1)
         pp = pl.program_id(3)
         co = out_ref.shape[-1]
         n = h_blk * w * b_sz
@@ -232,7 +232,7 @@ def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
         def spec(zc, hc, zmap, hmap):
             return pl.BlockSpec(
                 (zc, hc, r, ci),
-                lambda co, t, hb, p, zm=zmap, hm=hmap: (zm(t), hm(hb), 0, 0),
+                lambda t, hb, co, p, zm=zmap, hm=hmap: (zm(t), hm(hb), 0, 0),
                 memory_space=pltpu.VMEM)
 
         z_of_t = lambda t: t
@@ -257,9 +257,9 @@ def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
     at = jnp.asarray(AT4, jnp.float32)
     smem = pltpu.SMEM
     in_specs = [
-        pl.BlockSpec((ALPHA, ALPHA), lambda co, t, hb, p: (0, 0),
+        pl.BlockSpec((ALPHA, ALPHA), lambda t, hb, co, p: (0, 0),
                      memory_space=smem),
-        pl.BlockSpec((M_TILE, ALPHA), lambda co, t, hb, p: (0, 0),
+        pl.BlockSpec((M_TILE, ALPHA), lambda t, hb, co, p: (0, 0),
                      memory_space=smem),
     ]
     args = [bt, at]
@@ -270,9 +270,9 @@ def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
         # one point's (3, Ci, 3*CO_BLK) slice of the transformed kernel
         # per grid step (the all-points block double-buffers 6x the VMEM)
         pl.BlockSpec((3, ci_tot, 3 * CO_BLK),
-                     lambda co, t, hb, p: (p, 0, co),
+                     lambda t, hb, co, p: (p, 0, co),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CO_BLK), lambda co, t, hb, p: (0, co),
+        pl.BlockSpec((1, CO_BLK), lambda t, hb, co, p: (0, co),
                      memory_space=pltpu.VMEM),
     ])
     args.extend([wt, bias.reshape(1, co_total).astype(jnp.float32)])
@@ -280,14 +280,18 @@ def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
     n = h_blk * r
     out, stats = pl.pallas_call(
         _make_kernel(len(xs), h_blk, w, b_sz),
-        grid=(nco, nt, nh, ALPHA),
+        # co INSIDE (t, hb): the x/halo blocks keep their index across
+        # the (co, p) inner loops, so each input tile DMAs once per
+        # (z, h) tile instead of once per co-block (halves input HBM
+        # traffic at nco=2); stats/out write-back per co block is tiny
+        grid=(nt, nh, nco, ALPHA),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((M_TILE, h_blk, r, CO_BLK),
-                         lambda co, t, hb, p: (t, hb, 0, co),
+                         lambda t, hb, co, p: (t, hb, 0, co),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_sz, 2, CO_BLK),
-                         lambda co, t, hb, p: (0, 0, co),
+                         lambda t, hb, co, p: (0, 0, co),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -471,5 +475,11 @@ def wino_pallas_eligible(x_shape, kernel_shape, dtype) -> bool:
         # experiments / new-platform measurement
         min_cico = int(os.environ.get("MICA_WINO_PALLAS_MIN", 512 * 256))
         return env == "interpret" or ci * co >= min_cico
-    # auto mode: only measured in-model wins for THIS device kind
+    # auto mode: only measured in-model wins for THIS device kind, and
+    # only at the validated row-axis size — the kernel's VMEM working
+    # set scales with R = W*B, and R=768 (batch 12) was measured to
+    # CRASH the XLA TPU compile helper (scripts/bisect_batch12.py);
+    # larger batches silently fall back to the direct conv
+    if w * b > 512:
+        return False
     return (ci, co) in _MEASURED_MODEL_WINS.get(_device_kind(), ())

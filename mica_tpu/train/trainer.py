@@ -128,6 +128,7 @@ class Trainer:
         remat: bool = True,
         remat_scope: str = "blocks",
         microbatch: Optional[int] = None,
+        microbatch_impl: str = "unroll",
     ):
         # microbatch: accumulate gradients over in-step microbatches of
         # this size (a lax.scan whose body is ONE microbatch's
@@ -170,6 +171,14 @@ class Trainer:
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.label_smoothing = label_smoothing
         self.microbatch = microbatch
+        # "unroll": nm copies of the microbatch grad graph (fast XLA:CPU
+        # compiles; op count scales with nm).  "scan": ONE copy inside a
+        # lax.scan (the only formulation whose op count stays at the
+        # microbatch size — the TPU compile helper dies on BOTH larger
+        # per-op batches and duplicated subgraphs, scripts/
+        # bisect_batch12.py; XLA:CPU compiles it pathologically slowly,
+        # so it is opt-in).
+        self.microbatch_impl = microbatch_impl
         self.exp_only_prob = exp_only_prob
         self.use_augmentation = use_augmentation
         self.rng = jax.random.PRNGKey(seed)
@@ -259,20 +268,52 @@ class Trainer:
                 # pathologically slowly on XLA:CPU)
                 nm = n // mb
                 keys = jax.random.split(k_drop, nm)
-                grads = loss = metrics = None
-                for i in range(nm):
-                    sl = slice(i * mb, (i + 1) * mb)
-                    (loss_m, met_m), g_m = jax.value_and_grad(
-                        loss_fn, has_aux=True)(
-                            state.params, x=x[sl], af=af[sl],
-                            tgt=tuple(t[sl] for t in tgt), k_drop=keys[i])
-                    if grads is None:
-                        grads, loss, metrics = g_m, loss_m, dict(met_m)
-                    else:
-                        grads = jax.tree_util.tree_map(jnp.add, grads, g_m)
-                        loss = loss + loss_m
-                        metrics = {k: metrics[k] + met_m[k]
-                                   for k in metrics}
+                if self.microbatch_impl == "scan":
+                    def split(a):
+                        return a.reshape((nm, mb) + a.shape[1:])
+
+                    xs = (split(x), split(af)) + tuple(
+                        split(t) for t in tgt) + (keys,)
+
+                    def body(carry, inp):
+                        g_acc, l_acc, m_acc = carry
+                        xm, afm, t0, t1, t2, km = inp
+                        (l_m, met_m), g_m = jax.value_and_grad(
+                            loss_fn, has_aux=True)(
+                                state.params, x=xm, af=afm,
+                                tgt=(t0, t1, t2), k_drop=km)
+                        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_m)
+                        m_acc = {k: m_acc[k] + met_m[k] for k in m_acc}
+                        return (g_acc, l_acc + l_m, m_acc), None
+
+                    zeros_g = jax.tree_util.tree_map(
+                        jnp.zeros_like, state.params)
+                    zeros_m = {
+                        k: jnp.zeros((), jnp.float32)
+                        for k in ("total_loss", "backbone_loss",
+                                  "carbon_alpha_loss", "amino_acid_loss",
+                                  "lambda_b", "lambda_c", "lambda_a")
+                    }
+                    (grads, loss, metrics), _ = jax.lax.scan(
+                        body, (zeros_g, jnp.zeros((), jnp.float32),
+                               zeros_m), xs)
+                else:
+                    grads = loss = metrics = None
+                    for i in range(nm):
+                        sl = slice(i * mb, (i + 1) * mb)
+                        (loss_m, met_m), g_m = jax.value_and_grad(
+                            loss_fn, has_aux=True)(
+                                state.params, x=x[sl], af=af[sl],
+                                tgt=tuple(t[sl] for t in tgt),
+                                k_drop=keys[i])
+                        if grads is None:
+                            grads, loss, metrics = g_m, loss_m, dict(met_m)
+                        else:
+                            grads = jax.tree_util.tree_map(
+                                jnp.add, grads, g_m)
+                            loss = loss + loss_m
+                            metrics = {k: metrics[k] + met_m[k]
+                                       for k in metrics}
                 grads = jax.tree_util.tree_map(lambda g: g / nm, grads)
                 loss = loss / nm
                 metrics = {k: v / nm for k, v in metrics.items()}

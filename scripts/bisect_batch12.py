@@ -26,7 +26,9 @@ def _compile(name, make):
     t0 = time.time()
     try:
         fn, args = make()
-        jax.jit(fn).lower(*args).compile()
+        if not hasattr(fn, "lower"):
+            fn = jax.jit(fn)
+        fn.lower(*args).compile()
         print(f"  {name:28s}: COMPILES ({time.time() - t0:.0f}s)",
               flush=True)
         return True
@@ -71,6 +73,44 @@ def main():
         _compile("forward (inference)",
                  lambda: (lambda xx, aa: m.apply({"params": p}, xx, aa),
                           (x, af)))
+
+    if "fwd_nowino" in probes:
+        import os as _os
+
+        _os.environ["MICA_WINO_PALLAS"] = "0"
+        try:
+            m, p = model_and_params()
+            x = jax.ShapeDtypeStruct((B, S, S, S, 1), jnp.float32)
+            af = jax.ShapeDtypeStruct((B, S, S, S, 24), jnp.float32)
+            _compile("forward (inference, wino OFF)",
+                     lambda: (lambda xx, aa: m.apply({"params": p}, xx, aa),
+                              (x, af)))
+        finally:
+            del _os.environ["MICA_WINO_PALLAS"]
+
+    if "fwd_train" in probes:
+        # training-mode forward only (no grad): isolates forward-graph
+        # constructs from autodiff
+        m, p = model_and_params()
+        x = jax.ShapeDtypeStruct((B, S, S, S, 1), jnp.float32)
+        af = jax.ShapeDtypeStruct((B, S, S, S, 24), jnp.float32)
+        _compile(
+            "forward (train mode)",
+            lambda: (lambda xx, aa: m.apply(
+                {"params": p}, xx, aa, dropout_rate=0.1, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)}), (x, af)))
+
+    if "augment" in probes:
+        from mica_tpu.train import augment as aug
+
+        def make():
+            d = jax.ShapeDtypeStruct((B, 1, S, S, S), jnp.float32)
+            a = jax.ShapeDtypeStruct((B, 24, S, S, S), jnp.float32)
+            t = jax.ShapeDtypeStruct((B, 3, S, S, S), jnp.int32)
+            return (lambda dd, aa, tt: aug.augment_batch(
+                jax.random.PRNGKey(0), dd, aa, tt), (d, a, t))
+
+        _compile("augment_batch alone", make)
 
     if "grad_conv" in probes:
         # one 256->512 conv + IN + relu, the dominant training conv
@@ -148,14 +188,17 @@ def main():
 
         _compile("full train step", make)
 
-    if "micro" in probes or "time_micro" in probes:
+    if "micro" in probes or "time_micro" in probes or "micro_noaug" in probes:
         from mica_tpu.train.loss import task_lambdas
         from mica_tpu.train.trainer import Trainer
 
+        use_aug = "micro_noaug" not in probes
+        impl = "scan" if "scan" in sys.argv else "unroll"
         micro = 8 if B % 8 == 0 else (6 if B % 6 == 0 else B // 2)
         trainer = Trainer(base_filters=64, dtype=jnp.bfloat16,
-                          use_mesh=False, use_augmentation=True, remat=True,
-                          remat_scope="blocks", microbatch=micro)
+                          use_mesh=False, use_augmentation=use_aug,
+                          remat=True, remat_scope="blocks",
+                          microbatch=micro, microbatch_impl=impl)
         state = trainer.init_state((1, S, S, S, 1))
         step = trainer.train_step_for_epoch(0)
         lambdas = jnp.asarray(task_lambdas(0), jnp.float32)

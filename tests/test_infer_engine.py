@@ -136,7 +136,12 @@ def test_engine_sharded_production_geometry(rng):
     postprocess semantics (utils/predict.py:439-512) bitwise-closely.
     The reduced-size sharded tests can hide geometry-dependent bugs
     (InstanceNorm window stats, halo crop arithmetic) that only the
-    real 64/48/8 layout exercises; one window lattice is enough."""
+    real 64/48/8 layout exercises; one window lattice is enough.
+
+    Runtime note: two base=64 f32 CPU forwards ~= 30 TFLOP — minutes
+    per CPU core; sized for the push-only CI slow job (which already
+    carries the 4x-bigger base=64 volume-parity oracle), not for
+    single-core hosts."""
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
     from mica_tpu.models.init import init_params_fast
 

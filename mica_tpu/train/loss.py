@@ -77,8 +77,15 @@ def weighted_cross_entropy(
     targets: jnp.ndarray,
     class_weights: Sequence[float],
     label_smoothing: float = 0.0,
+    denominator: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Per-class-weighted CE, channels-last logits (..., C), int targets (...)."""
+    """Per-class-weighted CE, channels-last logits (..., C), int targets (...).
+
+    ``denominator`` overrides the normalizer ``sum_i w[y_i]``: gradient
+    accumulation passes the FULL-batch weight sum so that summing
+    per-microbatch losses reproduces the full-batch loss exactly (the
+    denominator depends only on targets, never on params).
+    """
     w = jnp.asarray(class_weights, jnp.float32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     n_cls = logits.shape[-1]
@@ -89,7 +96,28 @@ def weighted_cross_entropy(
     else:
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     sample_w = w[targets]
-    return jnp.sum(sample_w * nll) / jnp.sum(sample_w)
+    if denominator is None:
+        denominator = jnp.sum(sample_w)
+    return jnp.sum(sample_w * nll) / denominator
+
+
+def class_weight_denominators(
+    targets: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-task weighted-CE denominators ``sum_i w[y_i]`` over a batch.
+
+    Pure function of the integer targets (no model forward) — cheap to
+    evaluate on the full batch even when the forward/backward must run in
+    microbatches.
+    """
+    return tuple(
+        jnp.sum(jnp.asarray(w, jnp.float32)[t])
+        for w, t in zip(
+            (BACKBONE_CLASS_WEIGHTS, CARBON_ALPHA_CLASS_WEIGHTS,
+             AMINO_ACID_CLASS_WEIGHTS),
+            targets,
+        )
+    )
 
 
 def multi_task_loss(
@@ -97,21 +125,28 @@ def multi_task_loss(
     targets: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     lambdas,
     label_smoothing: float = 0.0,
+    denominators: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Combined loss.  ``outputs`` are channels-last logits (N,D,H,W,C).
 
     ``lambdas`` is the (3,) task-weight vector (see :func:`task_lambdas`),
     passed as data so epoch changes don't retrace the train step.
+
+    ``denominators`` (per-task, from :func:`class_weight_denominators` over
+    the FULL batch) makes the loss a partial contribution whose sum over
+    microbatches equals the full-batch loss exactly — the mechanism behind
+    exact in-step gradient accumulation (trainer.py).
     """
+    dn = denominators if denominators is not None else (None, None, None)
     lb, lc, la = lambdas[0], lambdas[1], lambdas[2]
     bb_loss = weighted_cross_entropy(
-        outputs[0], targets[0], BACKBONE_CLASS_WEIGHTS, label_smoothing
+        outputs[0], targets[0], BACKBONE_CLASS_WEIGHTS, label_smoothing, dn[0]
     )
     ca_loss = weighted_cross_entropy(
-        outputs[1], targets[1], CARBON_ALPHA_CLASS_WEIGHTS, label_smoothing
+        outputs[1], targets[1], CARBON_ALPHA_CLASS_WEIGHTS, label_smoothing, dn[1]
     )
     aa_loss = weighted_cross_entropy(
-        outputs[2], targets[2], AMINO_ACID_CLASS_WEIGHTS, label_smoothing
+        outputs[2], targets[2], AMINO_ACID_CLASS_WEIGHTS, label_smoothing, dn[2]
     )
     total = lb * bb_loss + lc * ca_loss + la * aa_loss
     return total, {

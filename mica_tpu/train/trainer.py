@@ -40,6 +40,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.mica import MICA, dropout_rate_for_epoch
 from ..parallel.mesh import DATA_AXIS, make_mesh
 from . import augment
+from . import loss as loss_module
 from .loss import multi_task_loss, task_lambdas
 
 logger = logging.getLogger(__name__)
@@ -132,10 +133,13 @@ class Trainer:
     ):
         # microbatch: accumulate gradients over in-step microbatches of
         # this size (a lax.scan whose body is ONE microbatch's
-        # value_and_grad).  Exact for the gradient: the mean-of-means
-        # over equal microbatches equals the full-batch mean, and every
-        # per-sample op (InstanceNorm, dropout, augmentation) is
-        # batch-independent.  This is the workaround for the batch>=12
+        # value_and_grad).  Exact for the gradient: the weighted-CE
+        # normalizer sum_i w[y_i] is computed over the FULL batch and
+        # each microbatch contributes numerator/D_full (the normalizer
+        # is target-only, so this is the true full-batch loss split into
+        # additive terms), and every per-sample op (InstanceNorm,
+        # dropout, augmentation) is batch-independent.  This is the
+        # workaround for the batch>=12
         # XLA TPU compiler crash (scripts/bisect_batch12.py): the
         # compiled graph is the microbatch-sized one regardless of the
         # global batch.
@@ -249,13 +253,15 @@ class Trainer:
             af = jnp.moveaxis(af3, 1, -1)
             tgt = (targets[:, 0], targets[:, 1], targets[:, 2])
 
-            def loss_fn(params, x=x, af=af, tgt=tgt, k_drop=k_drop):
+            def loss_fn(params, x=x, af=af, tgt=tgt, k_drop=k_drop,
+                        denominators=None):
                 outs = model.apply(
                     {"params": params}, x, af,
                     dropout_rate=dropout_rate, train=True,
                     rngs={"dropout": k_drop},
                 )
-                return multi_task_loss(outs, tgt, lambdas, ls)
+                return multi_task_loss(outs, tgt, lambdas, ls,
+                                       denominators=denominators)
 
             n = x.shape[0]
             mb = self.microbatch
@@ -265,8 +271,18 @@ class Trainer:
                 # what sidesteps the large-batch compiler crash (the
                 # crash is per-op/fusion scale, not graph length; a
                 # lax.scan formulation was tried and compiles
-                # pathologically slowly on XLA:CPU)
+                # pathologically slowly on XLA:CPU).
+                #
+                # Exactness: the per-task weighted-CE normalizer
+                # sum_i w[y_i] (loss.py:92) depends only on targets, so
+                # it is computed over the FULL batch here and every
+                # microbatch contributes numerator/D_full — summing
+                # losses and gradients then reproduces the full-batch
+                # quantities exactly, including when microbatch weight
+                # sums differ (class weights span 0.001..2.2, so they do
+                # on real data).
                 nm = n // mb
+                denoms = loss_module.class_weight_denominators(tgt)
                 keys = jax.random.split(k_drop, nm)
                 if self.microbatch_impl == "scan":
                     def split(a):
@@ -281,19 +297,25 @@ class Trainer:
                         (l_m, met_m), g_m = jax.value_and_grad(
                             loss_fn, has_aux=True)(
                                 state.params, x=xm, af=afm,
-                                tgt=(t0, t1, t2), k_drop=km)
+                                tgt=(t0, t1, t2), k_drop=km,
+                                denominators=denoms)
                         g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_m)
-                        m_acc = {k: m_acc[k] + met_m[k] for k in m_acc}
+                        m_acc = jax.tree_util.tree_map(jnp.add, m_acc, met_m)
                         return (g_acc, l_acc + l_m, m_acc), None
 
                     zeros_g = jax.tree_util.tree_map(
                         jnp.zeros_like, state.params)
-                    zeros_m = {
-                        k: jnp.zeros((), jnp.float32)
-                        for k in ("total_loss", "backbone_loss",
-                                  "carbon_alpha_loss", "amino_acid_loss",
-                                  "lambda_b", "lambda_c", "lambda_a")
-                    }
+                    # derive the metric structure from the loss itself so
+                    # new/removed metric keys flow through (a hardcoded
+                    # key list silently dropped additions)
+                    met_struct = jax.eval_shape(
+                        lambda p: loss_fn(
+                            p, x=x[:mb], af=af[:mb],
+                            tgt=tuple(t[:mb] for t in tgt),
+                            k_drop=keys[0], denominators=denoms)[1],
+                        state.params)
+                    zeros_m = jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), met_struct)
                     (grads, loss, metrics), _ = jax.lax.scan(
                         body, (zeros_g, jnp.zeros((), jnp.float32),
                                zeros_m), xs)
@@ -305,7 +327,7 @@ class Trainer:
                             loss_fn, has_aux=True)(
                                 state.params, x=x[sl], af=af[sl],
                                 tgt=tuple(t[sl] for t in tgt),
-                                k_drop=keys[i])
+                                k_drop=keys[i], denominators=denoms)
                         if grads is None:
                             grads, loss, metrics = g_m, loss_m, dict(met_m)
                         else:
@@ -314,9 +336,11 @@ class Trainer:
                             loss = loss + loss_m
                             metrics = {k: metrics[k] + met_m[k]
                                        for k in metrics}
-                grads = jax.tree_util.tree_map(lambda g: g / nm, grads)
-                loss = loss / nm
-                metrics = {k: v / nm for k, v in metrics.items()}
+                # grads/losses are exact full-batch sums already; only the
+                # per-microbatch-constant lambda metrics summed to nm*x
+                for k in ("lambda_b", "lambda_c", "lambda_a"):
+                    if k in metrics:
+                        metrics[k] = metrics[k] / nm
             else:
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)

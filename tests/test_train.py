@@ -137,15 +137,92 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0], f"no learning: {losses}"
 
 
+def _skewed_batch(batch_size=8, size=16, seed=0):
+    """Synthetic batch whose per-microbatch class-weight sums differ by
+    orders of magnitude: the first half is nearly all background
+    (weight 0.001-0.03), the second half dense atom classes (weight
+    0.1-2.2).  Mean-of-microbatch-losses accumulation (the pre-round-5
+    bug) diverges from the full-batch loss by ~2x on this data."""
+    density, af3, bb, ca, aa = data.synthetic_batch(batch_size, size, seed)
+    half = batch_size // 2
+    rng = np.random.default_rng(seed + 1)
+    for t, hi in ((bb, 4), (ca, 4), (aa, 21)):
+        t[:half] = (rng.random(t[:half].shape) < 0.01) * rng.integers(
+            1, hi, t[:half].shape)
+        t[half:] = rng.integers(hi - 2, hi, t[half:].shape)
+    return density, af3, bb, ca, aa
+
+
+def test_microbatch_loss_terms_exact_on_skewed_weights():
+    """Loss-level exactness of the denominator-split accumulation: with
+    per-microbatch weight sums differing by ~100x, summing the
+    ``denominators=``-scaled microbatch losses (and their gradients)
+    reproduces the full-batch loss/grad to float tolerance, while naive
+    mean-of-microbatch-losses is off by >10%."""
+    rng = np.random.default_rng(3)
+    n, d = 8, 5
+    _, _, bb, ca, aa = _skewed_batch(batch_size=n, size=d, seed=3)
+    tgt = tuple(jnp.asarray(t) for t in (bb, ca, aa))
+    # confident-correct on the background-heavy half, random on the dense
+    # half: the per-microbatch mean nll then differs, which is what makes
+    # mean-of-microbatch-losses measurably wrong
+    logits = []
+    for t, c in zip((bb, ca, aa), (4, 4, 21)):
+        lg = rng.normal(size=(n, d, d, d, c)).astype(np.float32)
+        onehot = np.eye(c, dtype=np.float32)[t[: n // 2]]
+        lg[: n // 2] += 6.0 * onehot
+        logits.append(jnp.asarray(lg))
+    logits = tuple(logits)
+    lambdas = jnp.asarray(loss_mod.task_lambdas(0), jnp.float32)
+
+    def full(lg):
+        return loss_mod.multi_task_loss(lg, tgt, lambdas)[0]
+
+    ref_loss = full(logits)
+    ref_grad = jax.grad(full)(logits)
+
+    denoms = loss_mod.class_weight_denominators(tgt)
+    mb = 4
+
+    def part(lg, sl):
+        return loss_mod.multi_task_loss(
+            tuple(l[sl] for l in lg),
+            tuple(t[sl] for t in tgt)[0:3],
+            lambdas, denominators=denoms)[0]
+
+    acc_loss = 0.0
+    acc_grad = jax.tree_util.tree_map(jnp.zeros_like, logits)
+    naive = 0.0
+    for i in range(n // mb):
+        sl = slice(i * mb, (i + 1) * mb)
+        l, g = jax.value_and_grad(part)(logits, sl)
+        # scatter the microbatch grad back into the full-batch slot
+        acc_grad = tuple(a.at[sl].add(gm[sl]) for a, gm in
+                         zip(acc_grad, g))
+        acc_loss += l
+        naive += loss_mod.multi_task_loss(
+            tuple(lg[sl] for lg in logits),
+            tuple(t[sl] for t in tgt), lambdas)[0]
+    naive /= (n // mb)
+
+    np.testing.assert_allclose(float(acc_loss), float(ref_loss), rtol=1e-5)
+    for a, r in zip(acc_grad, ref_grad):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-6)
+    assert abs(float(naive) - float(ref_loss)) / float(ref_loss) > 0.1, (
+        "skew too weak to distinguish naive mean-of-means accumulation")
+
+
 @pytest.mark.slow  # ~160 s of XLA:CPU compile for the two step variants
 def test_microbatch_accumulation_matches_full_batch():
     """In-step gradient accumulation (the batch>=12 compiler-crash
     workaround, scripts/bisect_batch12.py) must be EXACT: with dropout
     off and augmentation off, the 2x4-microbatch step from the same
     state produces the same post-step loss trajectory as the batch-8
-    step, to float-reassociation tolerance."""
+    step, to float-reassociation tolerance.  The batch is weight-skewed
+    (microbatch weight sums differ ~100x) so per-microbatch-normalized
+    accumulation would fail this test."""
     size = 16
-    batch = data.synthetic_batch(batch_size=8, size=size)
+    batch = _skewed_batch(batch_size=8, size=size)
     lambdas = jnp.asarray(loss_mod.task_lambdas(0), jnp.float32)
 
     results = []
@@ -164,11 +241,41 @@ def test_microbatch_accumulation_matches_full_batch():
                 jax.random.PRNGKey(i))
             losses.append(float(metrics["total_loss"]))
         results.append(losses)
-    # float reassociation (sum-of-partial-means vs one mean) is amplified
+    # float reassociation (sum-of-partials vs one sum) is amplified
     # through Adam's rsqrt over the 3 steps — measured 5.5e-5 rel; a
-    # wrong accumulation (missing 1/nm, skipped microbatch) is >=1e-2
+    # wrong accumulation (missing 1/nm, skipped microbatch, or the old
+    # per-microbatch normalization on this skewed batch) is >=1e-2
     np.testing.assert_allclose(results[0], results[1], rtol=5e-4,
                                err_msg="microbatch accumulation diverged")
+
+
+@pytest.mark.slow
+def test_microbatch_scan_matches_unroll():
+    """The lax.scan accumulation (ONE microbatch-size subgraph — the
+    formulation for compilers that reject duplicated subgraphs) must
+    match the unrolled accumulation bit-for-bit-ish on the same skewed
+    batch.  Small model: XLA:CPU compiles the scanned grad pathologically
+    slowly at larger sizes."""
+    size = 8
+    batch = _skewed_batch(batch_size=8, size=size)
+    lambdas = jnp.asarray(loss_mod.task_lambdas(0), jnp.float32)
+
+    results = []
+    for impl in ("unroll", "scan"):
+        trainer = Trainer(base_filters=16, lr=3e-4, use_mesh=False,
+                          use_augmentation=False, exp_only_prob=0.0,
+                          seed=7, microbatch=4, microbatch_impl=impl)
+        state = trainer.init_state((1, size, size, size, 1))
+        step = trainer._build_train_step(0.0)
+        losses = []
+        for i in range(2):
+            state, metrics = step(
+                state, tuple(jnp.asarray(b) for b in batch), lambdas,
+                jax.random.PRNGKey(i))
+            losses.append(float(metrics["total_loss"]))
+        results.append(losses)
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5,
+                               err_msg="scan accumulation diverged")
 
 
 @pytest.mark.slow

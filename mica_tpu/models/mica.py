@@ -48,6 +48,14 @@ def _train_wino_convs() -> bool:
     return os.environ.get("MICA_TRAIN_WINO", "0") == "1"
 
 
+def _train_wino_pallas() -> str:
+    """Gate for the Pallas Winograd custom-VJP path in TRAINING
+    (ops/wino_pallas.py round-5): ``MICA_TRAIN_WINO_PALLAS`` "1" on,
+    "interpret" for CPU parity tests, default off until the silicon A/B
+    records a win (scripts/bench_train_wino.py)."""
+    return os.environ.get("MICA_TRAIN_WINO_PALLAS", "0")
+
+
 def _train_fast_convs() -> bool:
     """Use the lane-packed small-Cout conv formulation in the TRAINING
     forward too (default on; ``MICA_TRAIN_PACKED=0`` disables).
@@ -178,21 +186,25 @@ def _maybe_wino_in_relu(mod: nn.Module, x, features: int, train: bool,
     free.  Parameters live at the identical ``<name>/Conv_0`` tree path;
     ``MICA_TRAIN_WINO=1`` opts training in.
     """
-    if train and not _train_wino_convs():
+    train_pallas_env = _train_wino_pallas() if train else "0"
+    if train and train_pallas_env == "0" and not _train_wino_convs():
         return None
     from ..ops.wino_pallas import (wino_conv3d_in_relu_pallas,
+                                   wino_conv3d_in_relu_pallas_ad,
                                    wino_pallas_eligible)
     from ..ops.winograd import conv3d_wino_z_in_relu, wino_eligible
 
     parts = x if isinstance(x, (list, tuple)) else [x]
     ci = sum(p.shape[-1] for p in parts)
     kshape = (3, 3, 3, ci, features)
-    # Pallas branch is inference-only: pallas_call has no VJP rule, so
-    # under MICA_TRAIN_WINO=1 the training forward composes with the XLA
-    # formulation only (jax.grad would fail loudly at trace time).
-    use_pallas = (not train) and wino_pallas_eligible(
-        [p.shape for p in parts], kshape, mod.dtype)
+    # Training takes the Pallas kernel through its round-5 custom VJP
+    # (gated by MICA_TRAIN_WINO_PALLAS); inference through the plain
+    # fused forward.  Same eligibility either way.
+    use_pallas = (not train or train_pallas_env != "0") and (
+        wino_pallas_eligible([p.shape for p in parts], kshape, mod.dtype))
     if not use_pallas:
+        if train and not _train_wino_convs():
+            return None
         x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         if not wino_eligible(x.shape, kshape, mod.dtype):
             return None
@@ -206,6 +218,11 @@ def _maybe_wino_in_relu(mod: nn.Module, x, features: int, train: bool,
         # in-VMEM Winograd with fused IN statistics, emitter-layout
         # operands (ops/wino_pallas.py round-4): the custom-call
         # boundaries are layout bitcasts, not transpose copies
+        if train:
+            # positional eps/interpret: custom_vjp nondiff_argnums
+            return wino_conv3d_in_relu_pallas_ad(
+                tuple(parts), k, b, 1e-5,
+                train_pallas_env == "interpret")
         return wino_conv3d_in_relu_pallas(
             tuple(parts), k, b,
             interpret=os.environ.get("MICA_WINO_PALLAS") == "interpret")

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -72,11 +73,17 @@ CO_BLK = 128        # output-channel block (one lane tile)
 H_BLK = 8           # h rows per grid step (n = H_BLK*W*B rows per matmul)
 
 
-def _make_kernel(n_inputs: int, h_blk: int, w: int, b_sz: int):
+def _make_kernel(n_inputs: int, h_blk: int, w: int, b_sz: int,
+                 with_stats: bool = True):
     def kernel(*refs):
         bt_ref, at_ref = refs[0], refs[1]
         in_refs = refs[2:2 + 9 * n_inputs]
-        wt_ref, bias_ref, out_ref, stats_ref, acc_ref = refs[2 + 9 * n_inputs:]
+        if with_stats:
+            (wt_ref, bias_ref, out_ref, stats_ref,
+             acc_ref) = refs[2 + 9 * n_inputs:]
+        else:
+            wt_ref, bias_ref, out_ref, acc_ref = refs[2 + 9 * n_inputs:]
+            stats_ref = None
 
         t = pl.program_id(0)
         nt = pl.num_programs(0)
@@ -86,9 +93,10 @@ def _make_kernel(n_inputs: int, h_blk: int, w: int, b_sz: int):
         co = out_ref.shape[-1]
         n = h_blk * w * b_sz
 
-        @pl.when((t == 0) & (hb == 0) & (pp == 0))
-        def _init_stats():
-            stats_ref[...] = jnp.zeros_like(stats_ref)
+        if with_stats:
+            @pl.when((t == 0) & (hb == 0) & (pp == 0))
+            def _init_stats():
+                stats_ref[...] = jnp.zeros_like(stats_ref)
 
         @pl.when(pp == 0)
         def _init_acc():
@@ -175,24 +183,28 @@ def _make_kernel(n_inputs: int, h_blk: int, w: int, b_sz: int):
         @pl.when(pp == ALPHA - 1)
         def _emit():
             bias = bias_ref[0].astype(jnp.float32)
-            # one-hot batch selector: row r of the flattened (h, w, b)
-            # axis belongs to batch r % b — S @ oj sums each batch's rows
-            rows_mod = jax.lax.broadcasted_iota(
-                jnp.int32, (b_sz, n), 1) % b_sz
-            bids = jax.lax.broadcasted_iota(jnp.int32, (b_sz, n), 0)
-            sel = (rows_mod == bids).astype(jnp.float32)
-            s1 = jnp.zeros((b_sz, co), jnp.float32)
-            s2 = jnp.zeros((b_sz, co), jnp.float32)
+            if with_stats:
+                # one-hot batch selector: row r of the flattened (h, w, b)
+                # axis belongs to batch r % b — S @ oj sums each batch's
+                # rows
+                rows_mod = jax.lax.broadcasted_iota(
+                    jnp.int32, (b_sz, n), 1) % b_sz
+                bids = jax.lax.broadcasted_iota(jnp.int32, (b_sz, n), 0)
+                sel = (rows_mod == bids).astype(jnp.float32)
+                s1 = jnp.zeros((b_sz, co), jnp.float32)
+                s2 = jnp.zeros((b_sz, co), jnp.float32)
             for j in range(M_TILE):
                 oj = acc_ref[j] + bias
-                s1 = s1 + jnp.dot(sel, oj,
-                                  preferred_element_type=jnp.float32)
-                s2 = s2 + jnp.dot(sel, oj * oj,
-                                  preferred_element_type=jnp.float32)
+                if with_stats:
+                    s1 = s1 + jnp.dot(sel, oj,
+                                      preferred_element_type=jnp.float32)
+                    s2 = s2 + jnp.dot(sel, oj * oj,
+                                      preferred_element_type=jnp.float32)
                 out_ref[j] = oj.reshape(h_blk, w * b_sz, co).astype(
                     out_ref.dtype)
-            stats_ref[:, 0] += s1
-            stats_ref[:, 1] += s2
+            if with_stats:
+                stats_ref[:, 0] += s1
+                stats_ref[:, 1] += s2
 
     return kernel
 
@@ -212,13 +224,16 @@ def _transform_weights(kernel, dtype):
     return wt.astype(dtype)
 
 
-def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
+def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool,
+            with_stats: bool = True):
     """Core kernel on emitter-layout inputs.
 
     xs: list of (D, H, R, Ci_i) arrays (R = W*B, all same D/H/R);
     wt: transformed weights from ``_transform_weights``; bias (Co,) f32.
     Returns (out (D, H, R, Co) in x dtype, stats (B, 2, Co) f32) where
-    stats are the per-(batch, channel) sums of out and out^2.
+    stats are the per-(batch, channel) sums of out and out^2; with
+    ``with_stats=False`` the stats matmuls are skipped and stats is
+    ``None`` (the backward's dx conv needs no InstanceNorm statistics).
     """
     d, h, r, _ = xs[0].shape
     ci_tot = sum(x.shape[-1] for x in xs)
@@ -278,26 +293,29 @@ def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
     args.extend([wt, bias.reshape(1, co_total).astype(jnp.float32)])
 
     n = h_blk * r
-    out, stats = pl.pallas_call(
-        _make_kernel(len(xs), h_blk, w, b_sz),
+    out_specs = [
+        pl.BlockSpec((M_TILE, h_blk, r, CO_BLK),
+                     lambda t, hb, co, p: (t, hb, 0, co),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((d, h, r, co_total), xs[0].dtype)]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((b_sz, 2, CO_BLK),
+                         lambda t, hb, co, p: (0, 0, co),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b_sz, 2, co_total), jnp.float32))
+    res = pl.pallas_call(
+        _make_kernel(len(xs), h_blk, w, b_sz, with_stats),
         # co INSIDE (t, hb): the x/halo blocks keep their index across
         # the (co, p) inner loops, so each input tile DMAs once per
         # (z, h) tile instead of once per co-block (halves input HBM
         # traffic at nco=2); stats/out write-back per co block is tiny
         grid=(nt, nh, nco, ALPHA),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((M_TILE, h_blk, r, CO_BLK),
-                         lambda t, hb, co, p: (t, hb, 0, co),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_sz, 2, CO_BLK),
-                         lambda t, hb, co, p: (0, 0, co),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((d, h, r, co_total), xs[0].dtype),
-            jax.ShapeDtypeStruct((b_sz, 2, co_total), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((M_TILE, n, CO_BLK), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -306,7 +324,9 @@ def _wino_T(xs, wt, bias, w: int, b_sz: int, interpret: bool):
             vmem_limit_bytes=100 << 20,
         ),
     )(*args)
-    return out, stats
+    if with_stats:
+        return res[0], res[1]
+    return res[0], None
 
 
 def _to_T(x):
@@ -417,6 +437,289 @@ def wino_conv3d_in_relu_pallas(x, kernel: jnp.ndarray, bias: jnp.ndarray,
     return jax.nn.relu((out - mean_c) * scale_c)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable fused conv+IN+relu (round-5, VERDICT r4 #1): custom VJP
+# around the emitter-layout kernel so TRAINING gets the Winograd MAC
+# saving too.
+#
+# Math (c = conv(x, k) + b; xhat = (c - mean)*rsqrt(var + eps);
+# y = relu(xhat), per-(batch, channel) statistics over spatial):
+#   * db == 0 exactly — InstanceNorm subtracts the mean, so a constant
+#     channel shift never reaches y (the reference's torch autodiff
+#     produces the same zero, just numerically);
+#   * dxhat = dy * [xhat > 0];
+#   * dc = scale * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat));
+#   * dx = conv_SAME(dc, flip_zyx(k) with Ci<->Co swapped) — ITSELF a
+#     3x3x3 stride-1 conv whose swapped channel geometry stays inside
+#     the measured-win set (512x256 <-> 256x512 etc.), so it runs on the
+#     same Pallas kernel (stats pass skipped);
+#   * dk = the standard weight-grad correlation, left to XLA
+#     (``jax.linear_transpose`` of the direct conv — matmul-shaped, and
+#     a Winograd weight-grad would need a different transform pair).
+#
+# Residuals: xhat (bf16, emitter layout — produced by the AD apply
+# kernel together with y, no extra pass) + the (B, Co) f32 scale.  Under
+# ``nn.remat`` the fwd recomputes in the backward, so the residuals cost
+# no training-forward HBM.
+
+
+def _apply_ad_kernel(out_ref, ms_ref, y_ref, xh_ref):
+    """AD-mode normalize-apply: emits y = relu(xhat) AND xhat (the
+    backward residual) in one roofline pass; y aliases the conv buffer."""
+    m = ms_ref[0].astype(out_ref.dtype)
+    sc = ms_ref[1].astype(out_ref.dtype)
+    xh = (out_ref[...] - m[None]) * sc[None]
+    xh_ref[...] = xh
+    y_ref[...] = jax.nn.relu(xh)
+
+
+def _in_apply_ad_T(out, ms_rows):
+    d, h, r, co = out.shape
+    return pl.pallas_call(
+        _apply_ad_kernel,
+        grid=(co // CO_BLK, d),
+        in_specs=[
+            pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, CO_BLK), lambda c, t: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(out.shape, out.dtype),
+            jax.ShapeDtypeStruct(out.shape, out.dtype),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 << 20),
+    )(out, ms_rows)
+
+
+def _make_bwd_stats_kernel(b_sz: int):
+    def kernel(xh_ref, dy_ref, st_ref):
+        t = pl.program_id(1)
+        hb = pl.program_id(2)
+
+        @pl.when((t == 0) & (hb == 0))
+        def _init():
+            st_ref[...] = jnp.zeros_like(st_ref)
+
+        xh = xh_ref[0]                       # (h_blk, r, CO_BLK)
+        g = jnp.where(xh > 0, dy_ref[0], 0).astype(jnp.float32)
+        hb_, r, co = g.shape
+        n = hb_ * r
+        gf = g.reshape(n, co)
+        gx = (g * xh.astype(jnp.float32)).reshape(n, co)
+        # r is a multiple of b, so row % b == (flattened row) % b
+        rows_mod = jax.lax.broadcasted_iota(jnp.int32, (b_sz, n), 1) % b_sz
+        bids = jax.lax.broadcasted_iota(jnp.int32, (b_sz, n), 0)
+        sel = (rows_mod == bids).astype(jnp.float32)
+        st_ref[:, 0] += jnp.dot(sel, gf,
+                                preferred_element_type=jnp.float32)
+        st_ref[:, 1] += jnp.dot(sel, gx,
+                                preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _in_bwd_stats_T(xh, dy, b_sz: int):
+    """Per-(batch, channel) sums of dxhat and dxhat*xhat: (B, 2, Co) f32."""
+    d, h, r, co = xh.shape
+    h_blk = H_BLK if h % H_BLK == 0 else 1
+    return pl.pallas_call(
+        _make_bwd_stats_kernel(b_sz),
+        grid=(co // CO_BLK, d, h // h_blk),
+        in_specs=[
+            pl.BlockSpec((1, h_blk, r, CO_BLK),
+                         lambda c, t, hb: (t, hb, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_blk, r, CO_BLK),
+                         lambda c, t, hb: (t, hb, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_sz, 2, CO_BLK),
+                               lambda c, t, hb: (0, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_sz, 2, co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+            vmem_limit_bytes=64 << 20),
+    )(xh, dy)
+
+
+def _bwd_apply_kernel(xh_ref, dy_ref, ms_ref, dc_ref):
+    """dc = scale * (g - m1 - xhat * m2), row-broadcast stats."""
+    dt = xh_ref.dtype
+    xh = xh_ref[...]
+    g = jnp.where(xh > 0, dy_ref[...], 0)
+    m1 = ms_ref[0].astype(dt)
+    m2 = ms_ref[1].astype(dt)
+    sc = ms_ref[2].astype(dt)
+    dc_ref[...] = sc[None] * (g - m1[None] - xh * m2[None])
+
+
+def _in_bwd_apply_T(xh, dy, ms_rows):
+    d, h, r, co = xh.shape
+    h_blk = H_BLK if h % H_BLK == 0 else 1
+    return pl.pallas_call(
+        _bwd_apply_kernel,
+        grid=(co // CO_BLK, d, h // h_blk),
+        in_specs=[
+            pl.BlockSpec((1, h_blk, r, CO_BLK),
+                         lambda c, t, hb: (t, hb, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_blk, r, CO_BLK),
+                         lambda c, t, hb: (t, hb, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, r, CO_BLK), lambda c, t, hb: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_blk, r, CO_BLK),
+                               lambda c, t, hb: (t, hb, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xh.shape, xh.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=64 << 20),
+    )(xh, dy, ms_rows)
+
+
+def _rows_expand(stats_2d, w: int, b_sz: int):
+    """(k, B, Co) f32 -> (k, W*B, Co): stats broadcast along the
+    flattened (w, b) row axis (rows interleave (w, b) with b minor)."""
+    k, b, co = stats_2d.shape
+    return jnp.broadcast_to(stats_2d[:, None], (k, w, b, co)).reshape(
+        k, w * b_sz, co)
+
+
+def _use_pallas_elementwise(interpret: bool) -> bool:
+    return not interpret and jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def wino_conv3d_in_relu_pallas_ad(parts, kernel, bias,
+                                  eps: float = 1e-5,
+                                  interpret: bool = False):
+    """Differentiable relu(instance_norm(conv3x3(concat(parts)) + bias))
+    on the emitter-layout Pallas Winograd kernel.  ``parts`` is a tuple
+    of (B, D, H, W, Ci_i) arrays (the dense-connection concat, absorbed
+    in-kernel); kernel (3, 3, 3, sum Ci, Co) f32; bias (Co,) f32.
+
+    Same numerics as ``wino_conv3d_in_relu_pallas``; the custom VJP (see
+    the design note above) keeps training on the Winograd roofline:
+    dx is the swapped-geometry conv on this same kernel, the IN+relu
+    backward runs as two roofline Pallas passes, dk stays an XLA
+    weight-grad conv, and db is exactly zero (bias feeding InstanceNorm
+    has no gradient).
+    """
+    y, _ = _wino_in_relu_ad_fwd(parts, kernel, bias, eps, interpret)
+    return y
+
+
+def _wino_in_relu_ad_fwd(parts, kernel, bias, eps, interpret):
+    parts = tuple(parts)
+    b_sz, d, h, w, _ = parts[0].shape
+    xs_t = [_to_T(xi) for xi in parts]
+    wt = _transform_weights(kernel, xs_t[0].dtype)
+    c_t, stats = _wino_T(xs_t, wt, bias, w, b_sz, interpret)
+    n = float(d * h * w)
+    mean = stats[:, 0] / n
+    var = jnp.maximum(stats[:, 1] / n - jax.lax.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    if _use_pallas_elementwise(interpret):
+        ms_rows = _rows_expand(jnp.stack([mean, scale]), w, b_sz)
+        y_t, xh_t = _in_apply_ad_T(c_t, ms_rows)
+    else:
+        dt = c_t.dtype
+        mr = _rows_expand(mean[None], w, b_sz)[0].astype(dt)
+        sr = _rows_expand(scale[None], w, b_sz)[0].astype(dt)
+        xh_t = (c_t - mr[None, None]) * sr[None, None]
+        y_t = jax.nn.relu(xh_t)
+    return _from_T(y_t, b_sz, w), (parts, kernel, xh_t, scale)
+
+
+def _wino_in_relu_ad_bwd(eps, interpret, res, dy):
+    parts, kernel, xh_t, scale = res
+    b_sz, d, h, w, _ = parts[0].shape
+    n = float(d * h * w)
+    dy_t = _to_T(dy.astype(xh_t.dtype))
+
+    if _use_pallas_elementwise(interpret):
+        gstats = _in_bwd_stats_T(xh_t, dy_t, b_sz)      # (B, 2, Co) f32
+        m1 = gstats[:, 0] / n
+        m2 = gstats[:, 1] / n
+        ms_rows = _rows_expand(jnp.stack([m1, m2, scale]), w, b_sz)
+        dc_t = _in_bwd_apply_T(xh_t, dy_t, ms_rows)
+    else:
+        g = jnp.where(xh_t > 0, dy_t, 0).astype(jnp.float32)
+        xh_f = xh_t.astype(jnp.float32)
+        # per-(batch, channel) means: rows of the R axis interleave
+        # (w, b) with b minor
+        g5 = g.reshape(d, h, w, b_sz, -1)
+        m1 = jnp.mean(g5, axis=(0, 1, 2))
+        m2 = jnp.mean((g * xh_f).reshape(d, h, w, b_sz, -1), axis=(0, 1, 2))
+        dt = xh_t.dtype
+        m1r = _rows_expand(m1[None], w, b_sz)[0].astype(dt)
+        m2r = _rows_expand(m2[None], w, b_sz)[0].astype(dt)
+        scr = _rows_expand(scale[None], w, b_sz)[0].astype(dt)
+        dc_t = scr[None, None] * (
+            g.astype(dt) - m1r[None, None] - xh_t * m2r[None, None])
+
+    # dx: SAME stride-1 conv of dc with the zyx-flipped, channel-swapped
+    # kernel — Winograd-shaped, same Pallas kernel, stats pass skipped
+    ci_tot = kernel.shape[3]
+    k_swap = jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4)  # (3,3,3,Co,Ci)
+    if ci_tot % CO_BLK == 0:
+        wt_t = _transform_weights(k_swap, dc_t.dtype)
+        dx_t, _ = _wino_T([dc_t], wt_t, jnp.zeros((ci_tot,), jnp.float32),
+                          w, b_sz, interpret, with_stats=False)
+        dx = _from_T(dx_t, b_sz, w)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            _from_T(dc_t, b_sz, w), k_swap.astype(dc_t.dtype), (1, 1, 1),
+            "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    offs, dparts = 0, []
+    for p in parts:
+        ci = p.shape[-1]
+        dparts.append(dx[..., offs:offs + ci].astype(p.dtype))
+        offs += ci
+
+    # dk: XLA weight-grad per part (avoids materializing the concat);
+    # the conv is linear in k, so linear_transpose skips the primal.
+    # The whole map runs in the compute dtype (the cast-to-compute-dtype
+    # transposes back to f32, matching what autodiff of the flax conv
+    # produces — XLA's weight-grad conv accumulates f32 internally).
+    dc = _from_T(dc_t, b_sz, w)
+    dks = []
+    for p in parts:
+        def conv_k(kk, p=p):
+            return jax.lax.conv_general_dilated(
+                p, kk.astype(p.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        spec = jax.ShapeDtypeStruct((3, 3, 3, p.shape[-1], kernel.shape[4]),
+                                    jnp.float32)
+        dk_i, = jax.linear_transpose(conv_k, spec)(dc.astype(p.dtype))
+        dks.append(dk_i)
+    dk = jnp.concatenate(dks, axis=3).astype(kernel.dtype)
+
+    db = jnp.zeros((kernel.shape[4],), jnp.float32)
+    return tuple(dparts), dk, db
+
+
+wino_conv3d_in_relu_pallas_ad.defvjp(
+    lambda parts, kernel, bias, eps, interpret: _wino_in_relu_ad_fwd(
+        parts, kernel, bias, eps, interpret),
+    _wino_in_relu_ad_bwd,
+)
+
+
 # Per-device-kind measured IN-MODEL verdicts (scripts/bench_model_dispatch
 # A/B, PERFORMANCE.md round-4): channel geometries where the emitter-layout
 # kernel beats XLA's direct conv inside the full model step.  Unknown
@@ -472,9 +775,24 @@ def wino_pallas_eligible(x_shape, kernel_shape, dtype) -> bool:
         return False
     if env in ("1", "interpret"):
         # forced mode: MICA_WINO_PALLAS_MIN selects geometries for
-        # experiments / new-platform measurement
+        # experiments / new-platform measurement.  The R = W*B > 512
+        # guard applies here too — R=768 is a hard XLA TPU
+        # compile-helper crash (scripts/bisect_batch12.py), not a perf
+        # regression, so forcing must not re-expose it.  Interpret mode
+        # (CPU parity tests) has no such compiler and stays open.
+        if env == "interpret":
+            return True
+        max_r = int(os.environ.get("MICA_WINO_PALLAS_MAX_R", 512))
+        if w * b > max_r:
+            warnings.warn(
+                f"MICA_WINO_PALLAS=1 declined at row size R={w * b} > "
+                f"{max_r}: R=768 crashes the XLA TPU compile helper "
+                "(scripts/bisect_batch12.py); falling back to direct conv. "
+                "Set MICA_WINO_PALLAS_MAX_R to raise the cap for "
+                "new-platform validation.")
+            return False
         min_cico = int(os.environ.get("MICA_WINO_PALLAS_MIN", 512 * 256))
-        return env == "interpret" or ci * co >= min_cico
+        return ci * co >= min_cico
     # auto mode: only measured in-model wins for THIS device kind, and
     # only at the validated row-axis size — the kernel's VMEM working
     # set scales with R = W*B, and R=768 (batch 12) was measured to

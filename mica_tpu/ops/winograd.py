@@ -286,6 +286,10 @@ def wino_eligible(x_shape, kernel_shape, dtype, m: int = 4) -> bool:
     ci, co = kernel_shape[3], kernel_shape[4]
     if x_shape[4] != ci:  # grouped conv
         return False
+    if env == "1":
+        # forced mode: MICA_WINO_MIN_CICO scopes the forcing to large
+        # geometries (A/B experiments on the dominant convs only)
+        return ci * co >= int(os.environ.get("MICA_WINO_MIN_CICO", 0))
     if env != "1":
         if jax.default_backend() != "tpu" or dtype != jnp.bfloat16:
             return False

@@ -109,6 +109,16 @@ def test_wino_pallas_eligibility(monkeypatch):
     monkeypatch.setattr(wp, "_device_kind", lambda: "TPU v5 lite")
     monkeypatch.setenv("MICA_WINO_PALLAS", "0")
     assert not wino_pallas_eligible(xs, ks, jnp.bfloat16)
+    # forced mode must ALSO decline R = W*B > 512 (batch 12 -> R=768 is a
+    # hard compile-helper crash, not a perf regression) unless the
+    # operator raises the cap explicitly for new-platform validation
+    monkeypatch.setenv("MICA_WINO_PALLAS", "1")
+    xs12 = (12, 64, 64, 64, 512)
+    assert wino_pallas_eligible(xs, ks, jnp.bfloat16)
+    with pytest.warns(UserWarning, match="R=768"):
+        assert not wino_pallas_eligible(xs12, ks, jnp.bfloat16)
+    monkeypatch.setenv("MICA_WINO_PALLAS_MAX_R", "1024")
+    assert wino_pallas_eligible(xs12, ks, jnp.bfloat16)
 
 
 @pytest.mark.slow
@@ -130,3 +140,106 @@ def test_wino_pallas_aot_compiles_for_v5e():
         b = jax.ShapeDtypeStruct((co,), jnp.float32)
         fn = jax.jit(wino_conv3d_in_relu_pallas, device=dev)
         fn.lower(x, k, b).compile()
+
+
+# ---------------------------------------------------------------------------
+# round-5: custom VJP (training path)
+
+
+def _ref_in_relu(x, k, b):
+    from mica_tpu.models.mica import instance_norm
+
+    return jax.nn.relu(instance_norm(_direct(x, k, b)))
+
+
+def test_wino_pallas_ad_forward_matches_reference(rng):
+    from mica_tpu.ops.wino_pallas import wino_conv3d_in_relu_pallas_ad
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 128)) * 0.3,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    got = wino_conv3d_in_relu_pallas_ad((x,), k, b, 1e-5, True)
+    want = _ref_in_relu(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("shapes,co", [
+    ([(2, 8, 8, 8, 128)], 128),            # dx conv takes the wino path
+    ([(2, 8, 8, 8, 16), (2, 8, 8, 8, 8)], 128),  # multi-operand, XLA dx
+])
+def test_wino_pallas_ad_grads_match_reference(shapes, co, rng):
+    """custom-VJP gradients (dx per part, dk, db) vs jax autodiff of the
+    direct conv+IN+relu composition, f32 interpret mode."""
+    from mica_tpu.ops.wino_pallas import wino_conv3d_in_relu_pallas_ad
+
+    xs = tuple(jnp.asarray(rng.standard_normal(s) * 0.5, jnp.float32)
+               for s in shapes)
+    ci = sum(s[-1] for s in shapes)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co)) * 0.2,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    # a fixed cotangent-shaping target makes the comparison sensitive to
+    # every term of the IN backward (pure sum() zeroes the m1 term)
+    t = jnp.asarray(rng.standard_normal(shapes[0][:4] + (co,)),
+                    jnp.float32)
+
+    def loss_mine(xs, k, b):
+        y = wino_conv3d_in_relu_pallas_ad(xs, k, b, 1e-5, True)
+        return jnp.sum(y * t)
+
+    def loss_ref(xs, k, b):
+        y = _ref_in_relu(jnp.concatenate(xs, axis=-1), k, b)
+        return jnp.sum(y * t)
+
+    g_mine = jax.grad(loss_mine, argnums=(0, 1, 2))(xs, k, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xs, k, b)
+
+    for a, r in zip(g_mine[0], g_ref[0]):  # dx per part
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_mine[1]), np.asarray(g_ref[1]),
+                               atol=2e-3, rtol=2e-3)
+    # db: exactly zero by IN mean-subtraction; the reference autodiff's
+    # is only numerically zero
+    assert float(jnp.max(jnp.abs(g_mine[2]))) == 0.0
+    np.testing.assert_allclose(np.asarray(g_ref[2]), 0.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_model_train_step_with_pallas_wino_vjp(monkeypatch, rng):
+    """End-to-end: a training value_and_grad through the MICA blocks with
+    MICA_TRAIN_WINO_PALLAS=interpret must match the direct-conv training
+    graph (same params, dropout off) — gradient parity at model level.
+    base=64 so the co%128 geometries (the convs the AD path actually
+    serves in production) are exercised; spatial 8^3 keeps it tractable."""
+    from mica_tpu.models.mica import MICA
+
+    model = MICA(base=64)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 1)), jnp.float32)
+    af = jnp.zeros((2, 8, 8, 8, 24), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, af)["params"]
+
+    def loss(params):
+        outs = model.apply({"params": params}, x, af, dropout_rate=0.0,
+                           train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum(jnp.sum(o * o) for o in outs)
+
+    monkeypatch.setenv("MICA_TRAIN_WINO_PALLAS", "0")
+    monkeypatch.setenv("MICA_WINO_PALLAS", "0")
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("MICA_TRAIN_WINO_PALLAS", "interpret")
+    monkeypatch.setenv("MICA_WINO_PALLAS", "interpret")
+    l_got, g_got = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=1e-3)
+    def named(tree):
+        return {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    ref_map, got_map = named(g_ref), named(g_got)
+    assert ref_map.keys() == got_map.keys()
+    for key in ref_map:
+        np.testing.assert_allclose(
+            np.asarray(got_map[key]), np.asarray(ref_map[key]),
+            atol=5e-3, rtol=5e-3, err_msg=key)

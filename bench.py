@@ -132,6 +132,13 @@ def measure_baseline(n_batches: int = 8, batch: int = 4):
     shape.  On a CUDA host this REPLACES the derived 5.5e5 A100
     estimate; on CPU it is a smoke test of the path (tiny geometry) and
     the number is reported as `smoke=True`, not a baseline.
+
+    TRUST BOUNDARY: this imports and executes code from
+    `/root/reference` (retrieved third-party content) in-process.  It is
+    opt-in only (`--measure-baseline`), never runs as part of the
+    driver bench, and the `--measure-baseline` invocation prints its
+    JSON and exits immediately — so it always runs in its own
+    short-lived process, isolated from any bench measurement.
     """
     sys.path.insert(0, "/root/reference")
     import torch
@@ -256,6 +263,15 @@ def main():
             _stage('realistic warmup')
             pred.predict_volume(volume, af, keep_on_device=True)
             warmup_s = time.time() - t_w
+            # phase split of the warmup (VERDICT r4 #8): `setup` is the
+            # host->device volume/encoding upload + window planning —
+            # through the tunneled TPU this phase alone has measured
+            # 150+ s during degraded-network windows (~1.5 MB/s on a
+            # ~0.5 GB upload) while compiles served from the seeded disk
+            # cache in tens of seconds; splitting them keeps
+            # warmup_compile_s from reading as compile time
+            warmup_setup_s = float(pred.timing.get("setup", 0.0))
+            warmup_upload_mb = (volume.nbytes + af.nbytes) / 1e6
 
             # best of three timed runs: host/tunnel jitter is a material
             # fraction of a ~7 s measurement
@@ -343,6 +359,14 @@ def main():
             "inference_s": round(inference_timing["inference"], 3),
             "end_to_end_s": round(elapsed, 3),
             "warmup_compile_s": round(warmup_s, 3),
+            # warmup phase split: setup = data upload + window planning
+            # (tunnel-bandwidth-bound, 150+ s in degraded windows);
+            # the remainder is compile-or-cache-serve + first inference.
+            # warmup_compile_s is NOT pure compile time — see
+            # PERFORMANCE.md "warmup caveat".
+            "warmup_setup_s": round(warmup_setup_s, 3),
+            "warmup_compile_serve_s": round(warmup_s - warmup_setup_s, 3),
+            "warmup_upload_mb": round(warmup_upload_mb, 1),
             "windows_per_s": round(
                 inference_timing["n_windows"] / inference_timing["inference"], 2
             ),

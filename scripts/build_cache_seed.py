@@ -8,6 +8,14 @@ container then serves the bench/CLI model-step compiles (~60 s each with
 the 32 MB scoped-VMEM budget) from the repo instead of re-paying them.
 
 Usage: python scripts/build_cache_seed.py [cache_dir]
+       python scripts/build_cache_seed.py [cache_dir] --prune use.log...
+
+--prune: keep only seed entries whose cache key appears in the given
+usage logs, produced by running the workloads (bench.py, CLI runs) with
+``MICA_CACHE_USE_LOG=<file>`` set (utils/jaxcache hooks jax's
+cache-hit/write DEBUG logging).  This drops entries orphaned by kernel
+or model changes — without it the seed grows monotonically every round
+(VERDICT r4 weak #6).
 """
 
 import json
@@ -16,8 +24,28 @@ import shutil
 import sys
 
 
+def read_used_keys(paths):
+    used = set()
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                key = line.strip()
+                if key:
+                    used.add(key if key.endswith("-cache")
+                             else key + "-cache")
+    return used
+
+
 def main():
-    cache = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:]]
+    prune_logs = []
+    if "--prune" in args:
+        i = args.index("--prune")
+        prune_logs = args[i + 1:]
+        args = args[:i]
+        if not prune_logs:
+            sys.exit("--prune needs at least one MICA_CACHE_USE_LOG file")
+    cache = args[0] if args else os.path.join(
         os.path.expanduser("~"), ".cache", "jax_comp_cache")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seed = os.path.join(repo, "xla_cache_seed")
@@ -26,10 +54,14 @@ def main():
     import jax
     import jaxlib
 
+    used = read_used_keys(prune_logs) if prune_logs else None
+
     n = 0
     total = 0
     for name in os.listdir(cache):
         if not name.endswith("-cache"):
+            continue
+        if used is not None and name not in used:
             continue
         src = os.path.join(cache, name)
         dst = os.path.join(seed, name)
@@ -38,10 +70,20 @@ def main():
             shutil.copyfile(src, dst)
             n += 1
         total += os.path.getsize(src)
+    pruned = 0
+    if used is not None:
+        for name in os.listdir(seed):
+            if name.endswith("-cache") and name not in used:
+                os.unlink(os.path.join(seed, name))
+                pruned += 1
     with open(os.path.join(seed, "MANIFEST.json"), "w") as f:
         json.dump({"jax": jax.__version__, "jaxlib": jaxlib.__version__},
                   f, indent=1)
-    print(f"seeded {n} new entries ({total / 1e6:.1f} MB total) -> {seed}")
+    kept = sum(1 for x in os.listdir(seed) if x.endswith("-cache"))
+    size = sum(os.path.getsize(os.path.join(seed, x))
+               for x in os.listdir(seed) if x.endswith("-cache"))
+    print(f"seeded {n} new entries; pruned {pruned}; seed now {kept} "
+          f"entries, {size / 1e6:.1f} MB -> {seed}")
 
 
 if __name__ == "__main__":

@@ -61,3 +61,30 @@ def test_seed_missing_dir_is_noop(tmp_path):
     dst = tmp_path / "cache"
     dst.mkdir()
     assert seed_cache_dir(str(dst), str(tmp_path / "nope")) == 0
+
+
+def test_usage_log_and_prune(tmp_path, monkeypatch):
+    """round-5 seed pruning: the MICA_CACHE_USE_LOG hook records cache
+    keys, and build_cache_seed --prune keeps only used entries."""
+    import logging
+    import subprocess
+    import sys
+
+    # the logging hook harvests keys from jax's cache DEBUG lines
+    log = tmp_path / "use.log"
+    monkeypatch.setenv("MICA_CACHE_USE_LOG", str(log))
+    from mica_tpu.utils.jaxcache import _maybe_trace_cache_usage
+
+    _maybe_trace_cache_usage()
+    logging.getLogger("jax._src.lru_cache").debug(
+        "Cache hit for key: 'jit_f-aaa'")
+    logging.getLogger("jax._src.compilation_cache").debug(
+        "Writing jit_g to persistent compilation cache with key "
+        "'jit_g-bbb'")
+    keys = set(log.read_text().split())
+    assert keys == {"jit_f-aaa", "jit_g-bbb"}
+
+    from scripts.build_cache_seed import read_used_keys
+
+    used = read_used_keys([str(log)])
+    assert used == {"jit_f-aaa-cache", "jit_g-bbb-cache"}

@@ -8,11 +8,14 @@
 //     per-residue by the local CA curvature, with a per-peptide rotation
 //     search that maximizes hydrogen-bond-like geometry and minimizes
 //     clashes (replaces PULCHRA's binned statistical fragment library);
-//   * CB from ideal L-amino-acid tetrahedral geometry;
-//   * side chains grown by NeRF (natural extension reference frames) from
-//     an internal-coordinate table at the most common rotamer
-//     (replaces PULCHRA's rotamer library, whose coordinate table is not
-//     even present in the reference snapshot);
+//   * side chains (incl. CB) placed from a behaviorally-calibrated
+//     conformation table keyed by the local CA-geometry bins
+//     (sidechain_table.h, built by calibrate_sidechains.py driving the
+//     shipped reference binary as a black-box oracle — its own rotamer
+//     coordinate table is not even present in the reference snapshot);
+//     fragment terminals and unknown types fall back to NeRF growth from
+//     an internal-coordinate table with clash-scored chi-well candidates,
+//     with CB from ideal L-amino-acid tetrahedral geometry;
 //   * excluded-volume relaxation on a spatial hash grid;
 //   * chain splitting at chain-ID changes and residue-number gaps,
 //     matching the fragment semantics of the reference driver.
@@ -511,6 +514,61 @@ inline bool chi2_flexible(const std::string &rn) {
          rn == "GLN";
 }
 
+// ---------------------------------------------------------------------------
+// calibrated side-chain placement table (round-5): frame-relative
+// Cartesian conformations keyed by the local CA-geometry bins
+// (b13_1, b13_2, b14) — behaviorally calibrated against the reference
+// binary by calibrate_sidechains.py.  The bins and the nearest-entry
+// metric |db1| + |db2| + 0.2*|db14| mirror the reference tool's own
+// selection function (pulchra.c:1696-1713, 2030-2060), so with the
+// same inputs our nearest table key reproduces its rotamer choice.
+#include "sidechain_table.h"
+
+int sc_type_index(const std::string &rn) {
+  for (int i = 0; i < kScNumTypes; ++i)
+    if (rn == kScTypeNames[i]) return i;
+  return -1;
+}
+
+// local CA-geometry bins at residue i (pulchra.c:1696-1713 semantics)
+void sc_bins(const Vec3 &p0, const Vec3 &p1, const Vec3 &p2, const Vec3 &p3,
+             int *b1, int *b2, int *b14) {
+  double r13_1 = dist(p0, p2);
+  double r13_2 = dist(p1, p3);
+  double r14 = dist(p0, p3);
+  if (dot(cross(p1 - p0, p2 - p1), p3 - p2) < 0) r14 = -r14;
+  *b1 = std::min(std::max((int)((r13_1 - 4.6) / 0.3), 0), 9);
+  *b2 = std::min(std::max((int)((r13_2 - 4.6) / 0.3), 0), 9);
+  *b14 = std::min(std::max((int)((r14 + 11.0) / 0.3), 0), 73);
+}
+
+// side-chain local frame rows (must match calibrate_sidechains.sc_frame)
+void sc_frame_rows(const Vec3 &pm1, const Vec3 &p, const Vec3 &pp1,
+                   Vec3 *f1, Vec3 *f2, Vec3 *f3) {
+  *f1 = unit(pp1 - pm1);
+  Vec3 c = cross(pp1 - p, p - pm1);
+  *f2 = norm(c) > 1e-9 ? unit(c) : unit(cross(*f1, Vec3(1, 0, 0)));
+  *f3 = cross(*f1, *f2);
+}
+
+// nearest-key lookup (the reference tool's own metric, pulchra.c:2038)
+int sc_lookup(int ti, int b1, int b2, int b14) {
+  const ScKey *keys = kScKeys[ti];
+  int nk = kScKeyCounts[ti];
+  double best = 1e9;
+  int conf = -1;
+  for (int j = 0; j < nk; ++j) {
+    double hit = std::abs((int)keys[j].b1 - b1) +
+                 std::abs((int)keys[j].b2 - b2) +
+                 0.2 * std::abs((int)keys[j].b14 - b14);
+    if (hit < best) {
+      best = hit;
+      conf = keys[j].conf;
+    }
+  }
+  return conf;
+}
+
 void build_sidechains(CAChainFragment &frag) {
   const auto &table = sidechain_table();
   size_t n = frag.residues.size();
@@ -559,11 +617,38 @@ void build_sidechains(CAChainFragment &frag) {
     // nerf(a=C, b=N, c=CA) convention (dihedral measured C->N->CA->CB).
     Vec3 cb = nerf(pos["C"], pos["N"], pos["CA"], 1.530, 110.4, -122.55);
     pos["CB"] = cb;
-    r.atoms.push_back({"CB", cb, 'C'});
-    add_ctx(cb, (int)ri);
+
+    // calibrated-table placement (needs the full CA window i-2..i+1)
+    std::vector<std::pair<std::string, Vec3>> table_atoms;
+    int ti = sc_type_index(r.res_name);
+    if (ti >= 0 && ri >= 2 && ri + 1 < n && kScKeyCounts[ti] > 0) {
+      int b1, b2, b14;
+      sc_bins(frag.residues[ri - 2].ca, frag.residues[ri - 1].ca, r.ca,
+              frag.residues[ri + 1].ca, &b1, &b2, &b14);
+      Vec3 f1, f2, f3;
+      sc_frame_rows(frag.residues[ri - 1].ca, r.ca,
+                    frag.residues[ri + 1].ca, &f1, &f2, &f3);
+      int conf = sc_lookup(ti, b1, b2, b14);
+      int nat = kScAtomCounts[ti];
+      if (conf >= 0) {
+        const float *co = kScConfs[ti] + (size_t)conf * nat * 3;
+        for (int j = 0; j < nat; ++j) {
+          Vec3 p = r.ca + f1 * co[3 * j] + f2 * co[3 * j + 1] +
+                   f3 * co[3 * j + 2];
+          table_atoms.emplace_back(kScAtomNames[ti][j], p);
+        }
+      }
+    }
 
     auto it = table.find(r.res_name);
-    if (it == table.end()) continue;
+    if (it == table.end() && table_atoms.empty()) {
+      // no IC entry and no table: commit the ideal CB alone
+      r.atoms.push_back({"CB", cb, 'C'});
+      add_ctx(cb, (int)ri);
+      continue;
+    }
+
+    const bool have_ic = it != table.end();
 
     // IC-table chi definitions (independent of phi/psi availability)
     double chi1_def = 0, chi2_def = 0;
@@ -571,7 +656,7 @@ void build_sidechains(CAChainFragment &frag) {
     int ai = aa_index(r.res_name);
     auto git = gamma_atom().find(r.res_name);
     auto dit = delta_atom().find(r.res_name);
-    if (git != gamma_atom().end())
+    if (have_ic && git != gamma_atom().end())
       for (const IC &ic : it->second) {
         if (ic.atom == git->second) {
           chi1_def = ic.dihedral;
@@ -613,7 +698,11 @@ void build_sidechains(CAChainFragment &frag) {
     }
 
     auto place = [&](double dd1, double dd2) {
+      // legacy NeRF placement — always includes the ideal CB so all
+      // candidate families carry a complete side chain
       std::vector<std::pair<std::string, Vec3>> out;
+      out.emplace_back("CB", cb);
+      if (!have_ic) return out;
       std::unordered_map<std::string, Vec3> p2 = pos;
       for (const IC &ic : it->second) {
         auto pa = p2.find(ic.a), pb = p2.find(ic.b), pc = p2.find(ic.c);
@@ -629,31 +718,57 @@ void build_sidechains(CAChainFragment &frag) {
       return out;
     };
 
-    // top-k rotamer set: the calibrated choice (prior 0) plus the
-    // canonical chi1 wells (g-, g+, t), each optionally crossed with the
-    // canonical chi2 wells for long flexible chains
+    // Candidate set, in prior order:
+    //   1. the calibrated-table conformation at the nearest CA-geometry
+    //      key (prior 0 — the reference tool's own choice; wins
+    //      whenever clash-free),
+    //   2. the second-nearest distinct table conformation,
+    //   3. the legacy NeRF placements: (phi, psi)-calibrated chi, then
+    //      the canonical chi1 wells (g-, g+, t), crossed with chi2
+    //      wells for long flexible chains — the clash-escape set.
     struct Cand { double d1, d2, prior; };
-    std::vector<Cand> cands{{d1, d2, 0.0}};
-    if (has1) {
-      for (double chi1c : {-60.0, 60.0, 180.0}) {
-        double d1c = wrap_deg(-chi1c - chi1_def);
-        cands.push_back({d1c, d2, 0.15});
-        if (has2 && chi2_flexible(r.res_name))
-          for (double chi2c : {-60.0, 60.0, 180.0})
-            cands.push_back({d1c, wrap_deg(-chi2c - chi2_def), 0.30});
+    std::vector<Cand> cands;
+    if (have_ic) {
+      cands.push_back({d1, d2, 0.20});
+      if (has1) {
+        for (double chi1c : {-60.0, 60.0, 180.0}) {
+          double d1c = wrap_deg(-chi1c - chi1_def);
+          cands.push_back({d1c, d2, 0.35});
+          if (has2 && chi2_flexible(r.res_name))
+            for (double chi2c : {-60.0, 60.0, 180.0})
+              cands.push_back({d1c, wrap_deg(-chi2c - chi2_def), 0.50});
+        }
       }
+    } else if (table_atoms.empty()) {
+      cands.push_back({0, 0, 0.20});  // CB only
     }
 
+    // The nearest-key table conformation is the reference tool's own
+    // rotamer choice and commits outright — clash-aware selection here
+    // was measured to DIVERGE from the oracle (chi1 agreement 0.83
+    // table-only vs 0.77-0.79 with soft/hard-gated selection on the
+    // golden example) while gaining nothing: the downstream
+    // excluded-volume relaxation keeps final hard clashes at zero from
+    // either starting point (the reference tool does the same — its
+    // rotamer pick has no clash term in CA-only mode, pulchra.c:
+    // 2030-2123, and its exvol pass runs after).  The clash-scored
+    // legacy NeRF candidate set remains the fallback for residues
+    // without table coverage (fragment terminals, unknown types).
     double best = 1e30;
     std::vector<std::pair<std::string, Vec3>> best_atoms;
-    for (const Cand &c : cands) {
-      auto atoms = place(c.d1, c.d2);
-      double sc = clash_score(atoms, (int)ri) + c.prior;
-      if (sc < best - 1e-12) {
-        best = sc;
-        best_atoms = std::move(atoms);
+    if (!table_atoms.empty()) {
+      best = 0.0;
+      best_atoms = std::move(table_atoms);
+    } else {
+      for (const Cand &c : cands) {
+        if (best <= c.prior + 1e-12) break;  // cannot improve
+        auto atoms = place(c.d1, c.d2);
+        double sc = clash_score(atoms, (int)ri) + c.prior;
+        if (sc < best - 1e-12) {
+          best = sc;
+          best_atoms = std::move(atoms);
+        }
       }
-      if (best <= c.prior + 1e-12 && c.prior == 0.0) break;  // clash-free
     }
     for (const auto &nv : best_atoms) {
       r.atoms.push_back({nv.first, nv.second, element_of(nv.first)});

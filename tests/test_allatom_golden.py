@@ -313,14 +313,17 @@ def _chi1_by_residue(atoms):
 
 
 def test_allatom_and_chi1_vs_pulchra(outputs):
-    """Side-chain fidelity metrics vs the shipped binary (VERDICT r2 #6).
+    """Side-chain fidelity metrics vs the shipped binary (VERDICT r2 #6,
+    r4 #5).
 
     PULCHRA is itself a predictor (no crystal ground truth exists for the
     CA-trace example), so these are AGREEMENT metrics between two rotamer
-    selectors: strong-signal residues should land in the same chi1 well.
-    Measured 2026-08-20 (top-k clash-scored rotamer selection): all-atom
-    RMSD 1.83 A, side-chain-only 2.94 A, chi1 within 40 deg 57.7%
-    (median 20.1 deg) — the bounds below are regression floors."""
+    selectors.  Measured 2026-08-21 (round-5 calibrated placement table —
+    the binary's rotamer choice recovered as a function of its own
+    CA-geometry bins, calibrate_sidechains.py): all-atom RMSD 1.44 A,
+    side-chain-only 1.97 A, chi1 within 40 deg 82.9% (median 4.1 deg) —
+    the bounds below are regression floors at the VERDICT r4 targets
+    (chi1 >= 70%, sc RMSD <= 2.2 A)."""
     ours, theirs = outputs
 
     def keyed(a):
@@ -336,8 +339,8 @@ def test_allatom_and_chi1_vs_pulchra(outputs):
     sc_rows = [i for i, k in enumerate(common)
                if k[1] not in ("N", "CA", "C", "O", "CB")]
     rmsd_sc = float(np.sqrt((d[sc_rows] ** 2).sum(1).mean()))
-    assert rmsd_all < 2.2, rmsd_all
-    assert rmsd_sc < 3.5, rmsd_sc
+    assert rmsd_all < 1.7, rmsd_all
+    assert rmsd_sc < 2.2, rmsd_sc
 
     c_o = _chi1_by_residue(ours)
     c_r = _chi1_by_residue(theirs)
@@ -346,16 +349,16 @@ def test_allatom_and_chi1_vs_pulchra(outputs):
     diff = np.array([abs((c_o[r] - c_r[r] + 180) % 360 - 180)
                      for r in comm])
     within = float((diff < 40).mean())
-    assert within >= 0.50, f"chi1 within-40deg agreement {within:.3f}"
-    assert float(np.median(diff)) < 30.0, float(np.median(diff))
+    assert within >= 0.70, f"chi1 within-40deg agreement {within:.3f}"
+    assert float(np.median(diff)) < 10.0, float(np.median(diff))
 
 
 def test_rotamer_selection_avoids_clash(tmp_path):
-    """The top-k selection picks an alternative chi1 well when the
-    calibrated rotamer collides: two close antiparallel strands force at
-    least some side chains off the zero-prior candidate, and the result
-    must stay clash-free at the selection radius used by relax (2.0 A
-    hard count)."""
+    """Forced-contact case: two strands 4.6 A apart with LYS side chains
+    forced inward.  Round-5: the rotamer choice itself is table-first
+    (clash-blind, like the reference tool's own selection) and the
+    downstream excluded-volume relaxation must resolve the collisions —
+    the output still has to be clash-free at the 2.0 A hard count."""
     from mica_tpu.io import pdb as pdb_io
     from mica_tpu.tools import allatom
 

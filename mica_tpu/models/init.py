@@ -18,8 +18,20 @@ import numpy as np
 
 
 def init_params_fast(model, sample_args: Tuple, seed: int = 0):
-    """Build params for ``model`` without compiling an init program."""
-    shapes = jax.eval_shape(lambda *a: model.init(jax.random.PRNGKey(0), *a), *sample_args)
+    """Build params for ``model`` without compiling an init program.
+
+    Non-array entries of ``sample_args`` (dropout rates, train flags) are
+    bound statically — eval_shape would otherwise abstract them and break
+    Python control flow on them inside the module."""
+    arr_idx = [i for i, a in enumerate(sample_args) if hasattr(a, "shape")]
+
+    def call(*abstract):
+        args = list(sample_args)
+        for i, a in zip(arr_idx, abstract):
+            args[i] = a
+        return model.init(jax.random.PRNGKey(0), *args)
+
+    shapes = jax.eval_shape(call, *[sample_args[i] for i in arr_idx])
     shapes = shapes["params"]
     rng = np.random.default_rng(seed)
 

@@ -599,6 +599,10 @@ def _rows_expand(stats_2d, w: int, b_sz: int):
 
 
 def _use_pallas_elementwise(interpret: bool) -> bool:
+    # MICA_WINO_AD_XLA_EW=1: XLA elementwise in the AD fwd/bwd instead of
+    # the Pallas apply/stats kernels (compile-ceiling bisection)
+    if os.environ.get("MICA_WINO_AD_XLA_EW") == "1":
+        return False
     return not interpret and jax.default_backend() == "tpu"
 
 
@@ -675,7 +679,9 @@ def _wino_in_relu_ad_bwd(eps, interpret, res, dy):
     # kernel — Winograd-shaped, same Pallas kernel, stats pass skipped
     ci_tot = kernel.shape[3]
     k_swap = jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4)  # (3,3,3,Co,Ci)
-    if ci_tot % CO_BLK == 0:
+    # MICA_WINO_AD_XLA_DX=1: XLA direct conv for dx (ceiling bisection)
+    if (ci_tot % CO_BLK == 0
+            and os.environ.get("MICA_WINO_AD_XLA_DX") != "1"):
         wt_t = _transform_weights(k_swap, dc_t.dtype)
         dx_t, _ = _wino_T([dc_t], wt_t, jnp.zeros((ci_tot,), jnp.float32),
                           w, b_sz, interpret, with_stats=False)

@@ -71,6 +71,48 @@ def probe_op(grad: bool):
           flush=True)
 
 
+def probe_piece(which: str):
+    """Compile each backward component alone (ceiling attribution)."""
+    import jax
+    import jax.numpy as jnp
+
+    import mica_tpu.ops.wino_pallas as wp
+
+    rng = np.random.default_rng(0)
+    d = h = w = 64
+    b_sz, co = 8, 256
+    r = w * b_sz
+    xh = jnp.asarray(rng.standard_normal((d, h, r, co)), jnp.bfloat16)
+    dy = jnp.asarray(rng.standard_normal((d, h, r, co)), jnp.bfloat16)
+
+    if which == "applyad":
+        ms = jnp.asarray(rng.standard_normal((2, r, co)), jnp.float32)
+        fn = jax.jit(wp._in_apply_ad_T)
+        c, t = timeit(fn, xh, ms)
+    elif which == "bwdstats":
+        fn = jax.jit(lambda a, b: wp._in_bwd_stats_T(a, b, b_sz))
+        c, t = timeit(fn, xh, dy)
+    elif which == "bwdapply":
+        ms = jnp.asarray(rng.standard_normal((3, r, co)), jnp.float32)
+        fn = jax.jit(wp._in_bwd_apply_T)
+        c, t = timeit(fn, xh, dy, ms)
+    elif which == "dxwino":
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, co, 512)) * 0.05,
+                        jnp.float32)
+
+        def dx(dc):
+            wt = wp._transform_weights(k, dc.dtype)
+            out, _ = wp._wino_T([dc], wt, jnp.zeros((512,), jnp.float32),
+                                w, b_sz, False, with_stats=False)
+            return out
+
+        fn = jax.jit(dx)
+        c, t = timeit(fn, dy)
+    else:
+        raise ValueError(which)
+    print(f"{which}: compile {c:.1f}s  run {t * 1e3:.1f} ms", flush=True)
+
+
 def probe_module(which: str):
     import jax
     import jax.numpy as jnp
@@ -132,6 +174,25 @@ def main():
                 probe_op(False)
             elif p == "opgrad":
                 probe_op(True)
+            elif p.startswith("opgrad_"):
+                # component-substitution probes: swap backward pieces
+                # for XLA equivalents to find the crashing one
+                env = {"opgrad_xla_ew": {"MICA_WINO_AD_XLA_EW": "1"},
+                       "opgrad_xla_dx": {"MICA_WINO_AD_XLA_DX": "1"},
+                       "opgrad_xla_both": {"MICA_WINO_AD_XLA_EW": "1",
+                                           "MICA_WINO_AD_XLA_DX": "1"}}[p]
+                saved = {k: os.environ.get(k) for k in env}
+                os.environ.update(env)
+                try:
+                    probe_op(True)
+                finally:
+                    for k, v in saved.items():
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
+            elif p in ("applyad", "bwdstats", "bwdapply", "dxwino"):
+                probe_piece(p)
             elif p == "rdb":
                 probe_module("rdb")
             elif p == "stage":

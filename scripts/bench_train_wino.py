@@ -38,6 +38,15 @@ CONFIGS = [
       "MICA_WINO_MIN_CICO": "32768"}),
     ("pallas-wino vjp (auto geometries)",
      {"MICA_TRAIN_WINO_PALLAS": "1"}),
+    # round-5 bisect finding (scripts/bisect_train_wino.py on silicon):
+    # the three AD elementwise Pallas kernels (_in_apply_ad_T,
+    # _in_bwd_stats_T, _in_bwd_apply_T) each crash the remote
+    # tpu_compile_helper STANDALONE, while the wino conv kernel compiles
+    # and runs in both directions (fwd 120.6 ms, dx 111.8 ms at
+    # 512<->256 batch 8).  XLA elementwise + Pallas wino convs is the
+    # viable formulation on this platform.
+    ("pallas-wino vjp, XLA elementwise",
+     {"MICA_TRAIN_WINO_PALLAS": "1", "MICA_WINO_AD_XLA_EW": "1"}),
 ]
 
 

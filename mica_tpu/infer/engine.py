@@ -94,7 +94,18 @@ def unpack_af_bits(packed: "jnp.ndarray", dtype=jnp.float32) -> "jnp.ndarray":
 
 
 def auto_batch_size(max_batch: int = 8, device=None) -> int:
-    """Memory-derived batch size, capped at 8 (predict.py:149-174 analog).
+    """Memory-derived batch size, capped at the measured-fastest batch
+    (reference predict.py:149-174 picks the largest batch that FITS; on
+    this platform bigger is measurably slower, so the cap is a perf
+    rule, not just a memory one).
+
+    Measured on v5e (scripts/bench_batch_cliff.py, 2026-08-21, constant
+    48-window workload, ms/window): batch 8 + wino 55.8, batch 8 direct
+    59.9, batch 12 direct 79.6, batch 16 direct 59.9.  Batches >8
+    exceed the Winograd kernel's validated row size (R = W*B > 512
+    crashes the XLA TPU compile helper, so the gate falls back to
+    direct convs) and are never faster even ignoring wino — so a
+    big-HBM host must NOT auto-select them.
 
     The full bf16 network peaks around ~1.5 GB of live activations per
     64-cube window; leave headroom for the output volumes.

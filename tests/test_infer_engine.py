@@ -382,6 +382,29 @@ def test_best_core_geometry():
         _e._GEOMETRY_RATE_PENALTY.update(old)
 
 
+def test_auto_batch_capped_on_big_hbm_host():
+    """Batches >8 must never be auto-selected: they exceed the wino
+    kernel's validated row size (R>512 silently falls back to direct
+    convs) and were measured SLOWER even as direct convs (batch 12:
+    79.6 vs 55.8 ms/window; scripts/bench_batch_cliff.py 2026-08-21),
+    so the memory-derived rule is capped by the measured-fastest batch
+    rather than by what fits (reference predict.py:149-174 picks the
+    biggest that fits)."""
+    from mica_tpu.infer.engine import auto_batch_size
+
+    class _BigDev:
+        def memory_stats(self):
+            return {"bytes_limit": 1 << 40}  # 1 TB: everything "fits"
+
+    assert auto_batch_size(device=_BigDev()) == 8
+    # tiny-HBM host still derives a smaller batch from memory
+    class _SmallDev:
+        def memory_stats(self):
+            return {"bytes_limit": 8 << 30}
+
+    assert auto_batch_size(device=_SmallDev()) <= 4
+
+
 @pytest.mark.slow
 def test_engine_alternate_geometry_matches_oracle(params, rng):
     """The engine is geometry-generic: a non-default core/halo must match

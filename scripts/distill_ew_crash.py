@@ -98,6 +98,30 @@ def build(variant):
             k4, grid=(1, D), in_specs=[big, big, ms2], out_specs=big,
             out_shape=out_sh, compiler_params=cp)
 
+    if variant in ("twoin_al", "twoin_hblk"):
+        def k4b(x_ref, dy_ref, ms_ref, y_ref):
+            m = ms_ref[0].astype(x_ref.dtype)
+            s = ms_ref[1].astype(x_ref.dtype)
+            g = jnp.where(x_ref[...] > 0, dy_ref[...], 0)
+            y_ref[...] = (g - m[None]) * s[None]
+
+        if variant == "twoin_al":
+            return pl.pallas_call(
+                k4b, grid=(1, D), in_specs=[big, big, ms2], out_specs=big,
+                out_shape=out_sh, input_output_aliases={1: 0},
+                compiler_params=cp)
+        hb = 8
+        bigb = pl.BlockSpec((1, hb, R, C), lambda c, t, h: (t, h, 0, c),
+                            memory_space=pltpu.VMEM)
+        msb = pl.BlockSpec((2, R, C), lambda c, t, h: (0, 0, c),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            k4b, grid=(1, D, H // hb), in_specs=[bigb, bigb, msb],
+            out_specs=bigb, out_shape=out_sh,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",) * 3,
+                vmem_limit_bytes=64 << 20))
+
     if variant == "hblk":
         hb = 8
         bigb = pl.BlockSpec((1, hb, R, C), lambda c, t, h: (t, h, 0, c),
@@ -162,11 +186,13 @@ def main():
     dy = jnp.asarray(rng.standard_normal((D, H, R, C)), jnp.bfloat16)
 
     variants = sys.argv[1:] or ["base", "noalias", "twoout", "twoout_al",
-                                "ms3", "twoin", "hblk", "accum3"]
+                                "ms3", "twoin", "twoin_al", "twoin_hblk",
+                                "hblk", "accum3"]
     for v in variants:
         try:
             fn = jax.jit(build(v))
             args = {"ms3": (x, ms3), "twoin": (x, dy, ms2),
+                    "twoin_al": (x, dy, ms2), "twoin_hblk": (x, dy, ms2),
                     "accum3": (x, dy)}.get(v, (x, ms2))
             t0 = time.time()
             out = fn(*args)

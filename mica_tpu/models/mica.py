@@ -486,7 +486,11 @@ class FPN(nn.Module):
             s = drop(s, dropout_rate * 0.5, train)
             smoothed.append(s)
 
-        return jnp.concatenate(smoothed, axis=-1)
+        # returned as PARTS of the logical channel concatenation: the
+        # heads' fused conv1 can absorb the concat in-kernel (round-5,
+        # ops/wino_pallas.wino_conv3d_pallas_padded); XLA consumers
+        # concatenate at the use site
+        return tuple(smoothed)
 
 
 class _NamedConvParams(nn.Module):
@@ -613,7 +617,8 @@ class FusedHeads(nn.Module):
     @nn.compact
     def __call__(self, fpn, p_bb, p_ca, p_aa, dropout_rate: float,
                  train: bool, out_slice=None):
-        fpn_ch = fpn.shape[-1]
+        parts = list(fpn) if isinstance(fpn, (list, tuple)) else [fpn]
+        fpn_ch = sum(p.shape[-1] for p in parts)
         rest_bb = TaskHeadRest(4, dtype=self.dtype, name="backbone_rest")
         rest_ca = TaskHeadRest(4, dtype=self.dtype, name="ca_rest")
         rest_aa = TaskHeadRest(21, dtype=self.dtype, name="aa_rest")
@@ -624,7 +629,23 @@ class FusedHeads(nn.Module):
              p_aa["conv1"][0][:, :, :, :fpn_ch]],
             axis=-1,
         )
-        big = conv_same(fpn, k_big, dtype=self.dtype)
+        from ..ops.wino_pallas import (wino_conv3d_pallas_padded,
+                                       wino_heads_eligible)
+
+        kshape = (3, 3, 3, fpn_ch, k_big.shape[-1])
+        if (not train and wino_heads_eligible(
+                [p.shape for p in parts], kshape, self.dtype)):
+            # padded-Co emitter-layout kernel: the FPN concat is absorbed
+            # as multi-operand reads, the 192-out conv runs as 256-out
+            # wino (the pad channels are sliced away for free below)
+            big = wino_conv3d_pallas_padded(
+                tuple(p.astype(self.dtype) for p in parts), k_big,
+                interpret=os.environ.get("MICA_WINO_HEADS") == "interpret")
+            fpn = parts[0]  # dtype/shape carrier for the cascade convs
+        else:
+            fpn = (parts[0] if len(parts) == 1
+                   else jnp.concatenate(parts, axis=-1))
+            big = conv_same(fpn, k_big, dtype=self.dtype)
 
         h_bb = big[..., :64] + p_bb["conv1"][1].astype(big.dtype)
         backbone = rest_bb(h_bb, p_bb, dropout_rate, train)
@@ -702,7 +723,7 @@ class MICA(nn.Module):
         fpn = FPN(self.base, dtype=self.dtype, name="fpn")(features, dropout_rate, train)
 
         head_rate = dropout_rate * 2
-        fpn_ch = fpn.shape[-1]
+        fpn_ch = sum(p.shape[-1] for p in fpn)
         p_bb = TaskHeadParams(fpn_ch, 4, name="backbone_head")()
         p_ca = TaskHeadParams(fpn_ch + 4, 4, name="ca_head")()
         p_aa = TaskHeadParams(fpn_ch + 8, 21, name="aa_head")()

@@ -726,6 +726,74 @@ wino_conv3d_in_relu_pallas_ad.defvjp(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wino_conv3d_pallas_padded(parts, kernel: jnp.ndarray,
+                              interpret: bool = False):
+    """Plain conv3x3 + multi-operand concat absorption for Co NOT a
+    multiple of 128: the kernel is zero-padded on the output-channel
+    axis to the next CO_BLK multiple and the PADDED output returned —
+    callers that consume channel slices (the cascaded heads read
+    big[..., 0:64/64:128/128:192], models/mica.py FusedHeads) slice the
+    padded tensor at identical cost, so the padding never materializes
+    a copy.  No bias, no IN statistics (``with_stats=False``) — the
+    heads add per-head biases after slicing.
+
+    Round-5 target: the fused heads' 192->192 conv1 over the FPN
+    concat (38.3 ms/dispatch as an XLA conv fusion, trace 2026-08-21)
+    plus the 805 MB FPN concat materialization it reads.
+    """
+    parts = list(parts) if isinstance(parts, (list, tuple)) else [parts]
+    b, d, h, w, _ = parts[0].shape
+    co = kernel.shape[4]
+    co_pad = -(-co // CO_BLK) * CO_BLK
+    if co_pad != co:
+        kernel = jnp.pad(kernel, ((0, 0),) * 4 + ((0, co_pad - co),))
+    wt = _transform_weights(kernel, parts[0].dtype)
+    out_t, _ = _wino_T([_to_T(p) for p in parts], wt,
+                       jnp.zeros((co_pad,), jnp.float32), w, b, interpret,
+                       with_stats=False)
+    return _from_T(out_t, b, w)
+
+
+def wino_heads_eligible(x_shapes, kernel_shape, dtype) -> bool:
+    """Gate for the padded-Co heads conv1 path.  Structure rules are the
+    kernel's; the default is the measured in-model verdict for this
+    device kind (see ``_MEASURED_HEADS_WINS``); ``MICA_WINO_HEADS``
+    force-overrides ("0" off, "1" on, "interpret" for CPU parity)."""
+    env = os.environ.get("MICA_WINO_HEADS", "")
+    if env == "0":
+        return False
+    shapes = (list(x_shapes) if x_shapes
+              and isinstance(x_shapes[0], (tuple, list)) else [x_shapes])
+    if len(kernel_shape) != 5 or tuple(kernel_shape[:3]) != (3, 3, 3):
+        return False
+    if any(len(s) != 5 for s in shapes):
+        return False
+    if any(tuple(s[:4]) != tuple(shapes[0][:4]) for s in shapes):
+        return False
+    if sum(s[4] for s in shapes) != kernel_shape[3]:
+        return False
+    b, d, h, w, _ = shapes[0]
+    if d % M_TILE or d < 2 * M_TILE or h % H_BLK or (w * b) % 8 or w < 8:
+        return False
+    if env == "interpret":
+        return True
+    if jax.default_backend() != "tpu" or dtype != jnp.bfloat16:
+        return False
+    if w * b > 512:  # same validated row-size cap as the main gate
+        return False
+    if env == "1":
+        return True
+    ci, co = kernel_shape[3], kernel_shape[4]
+    return (ci, co) in _MEASURED_HEADS_WINS.get(_device_kind(), ())
+
+
+# Measured in-model verdicts for the padded-Co heads path (filled only
+# after a live A/B records a win; scripts/bench_heads_wino.py under
+# MICA_WINO_HEADS=1 measures a candidate platform).
+_MEASURED_HEADS_WINS: dict = {}
+
+
 # Per-device-kind measured IN-MODEL verdicts (scripts/bench_model_dispatch
 # A/B, PERFORMANCE.md round-4): channel geometries where the emitter-layout
 # kernel beats XLA's direct conv inside the full model step.  Unknown

@@ -34,7 +34,17 @@ import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["MICA_TRAIN_WINO_PALLAS"] = "1"
-os.environ["MICA_WINO_AD_XLA_EW"] = "1"
+# formulation knobs mirror the live run's (scripts/bench_train_wino.py):
+#   --xla-ew  adds MICA_WINO_AD_XLA_EW=1 (XLA elementwise fwd/bwd)
+#   default   full Pallas-EW AD path (aliased buffers, lowest HBM —
+#             the XLA-EW variant measured 17.27 G > 15.75 G HBM in its
+#             first local compile, RESOURCE_EXHAUSTED)
+if "--xla-ew" in sys.argv:
+    sys.argv.remove("--xla-ew")
+    os.environ["MICA_WINO_AD_XLA_EW"] = "1"
+if "--remat-both" in sys.argv:
+    sys.argv.remove("--remat-both")
+    os.environ["MICA_AOT_REMAT_SCOPE"] = "both"
 os.environ["MICA_WINO_PALLAS"] = "1"
 os.environ["MICA_WINO_PALLAS_MIN"] = "32768"
 
@@ -66,7 +76,8 @@ def main():
 
     trainer = Trainer(base_filters=64, dtype=jnp.bfloat16, use_mesh=False,
                       use_augmentation=True, remat=True,
-                      remat_scope="blocks")
+                      remat_scope=os.environ.get("MICA_AOT_REMAT_SCOPE",
+                                                 "blocks"))
     state = trainer.init_state((1, 64, 64, 64, 1))
     batch = tuple(jnp.asarray(b) for b in synthetic_batch(batch_size=8,
                                                           size=64))

@@ -243,3 +243,46 @@ def test_model_train_step_with_pallas_wino_vjp(monkeypatch, rng):
         np.testing.assert_allclose(
             np.asarray(got_map[key]), np.asarray(ref_map[key]),
             atol=5e-3, rtol=5e-3, err_msg=key)
+
+
+def test_wino_pallas_padded_co_matches_direct(rng):
+    """Co not a multiple of 128: the padded-Co wrapper (round-5, the
+    heads' 192->192 conv1 + FPN-concat absorption) must equal the
+    direct conv of the channel concat on the leading Co channels, with
+    exact zeros in the pad channels."""
+    from mica_tpu.ops.wino_pallas import wino_conv3d_pallas_padded
+
+    shapes = [(2, 8, 8, 8, 8), (2, 8, 8, 8, 8), (2, 8, 8, 8, 8)]
+    xs = [jnp.asarray(rng.standard_normal(s), jnp.float32) for s in shapes]
+    ci = sum(s[-1] for s in shapes)
+    co = 72  # pads to 128
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co)) * 0.2,
+                    jnp.float32)
+    out = wino_conv3d_pallas_padded(tuple(xs), k, interpret=True)
+    assert out.shape[-1] == 128
+    want = lax.conv_general_dilated(
+        jnp.concatenate(xs, axis=-1), k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision="highest")
+    np.testing.assert_allclose(np.asarray(out[..., :co]), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[..., co:]), 0.0, atol=1e-6)
+
+
+def test_model_heads_wino_matches_direct(monkeypatch, rng):
+    """Full-model forward with the heads conv1 on the padded-Co kernel
+    (MICA_WINO_HEADS=interpret) must match the default XLA path."""
+    from mica_tpu.models.init import init_params_fast
+    from mica_tpu.models.mica import MICA
+
+    model = MICA(base=16, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 1)), jnp.float32)
+    af = jnp.zeros((1, 8, 8, 8, 24), jnp.float32)
+    params = init_params_fast(model, (x, af))
+
+    monkeypatch.delenv("MICA_WINO_HEADS", raising=False)
+    want = model.apply({"params": params}, x, af)
+    monkeypatch.setenv("MICA_WINO_HEADS", "interpret")
+    got = model.apply({"params": params}, x, af)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=1e-3)

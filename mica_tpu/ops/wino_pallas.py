@@ -475,28 +475,30 @@ def _apply_ad_kernel(out_ref, ms_ref, y_ref, xh_ref):
 
 def _in_apply_ad_T(out, ms_rows):
     d, h, r, co = out.shape
+    # h-blocked (unlike the single-output production apply): the extra
+    # xh output buffer at full-h blocks puts the double-buffered VMEM
+    # stack at 64.25 MB — 256 KB over the 64 MB scoped limit
+    # (RESOURCE_EXHAUSTED from the v5e AOT compiler, round-5)
+    h_blk = H_BLK if h % H_BLK == 0 else 1
+    big = pl.BlockSpec((1, h_blk, r, CO_BLK),
+                       lambda c, t, hb: (t, hb, 0, c),
+                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _apply_ad_kernel,
-        grid=(co // CO_BLK, d),
+        grid=(co // CO_BLK, d, h // h_blk),
         in_specs=[
-            pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, r, CO_BLK), lambda c, t: (0, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, r, CO_BLK), lambda c, t: (t, 0, 0, c),
+            big,
+            pl.BlockSpec((2, r, CO_BLK), lambda c, t, hb: (0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=[big, big],
         out_shape=[
             jax.ShapeDtypeStruct(out.shape, out.dtype),
             jax.ShapeDtypeStruct(out.shape, out.dtype),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=64 << 20),
     )(out, ms_rows)
 

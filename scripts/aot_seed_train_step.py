@@ -89,6 +89,18 @@ def main():
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a),
                                        sharding=sh), t)
 
+    # per-component cache-key hashes: the "computation" hash must equal
+    # the live consumer's for the installed executable to be exactly the
+    # program the live trace describes (the other components — backend
+    # version, accelerator config — legitimately differ and are why the
+    # blob is installed under the LIVE key rather than the local one)
+    import logging
+
+    logging.getLogger("jax._src.cache_key").setLevel(logging.DEBUG)
+    h = logging.StreamHandler(sys.stdout)
+    h.addFilter(lambda r: "hash of serialized" in r.getMessage())
+    logging.getLogger("jax._src.cache_key").addHandler(h)
+
     before = set(os.listdir(cache)) if os.path.isdir(cache) else set()
     print("lowering ...", flush=True)
     t0 = time.time()

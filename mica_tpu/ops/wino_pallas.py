@@ -465,12 +465,19 @@ def wino_conv3d_in_relu_pallas(x, kernel: jnp.ndarray, bias: jnp.ndarray,
 
 def _apply_ad_kernel(out_ref, ms_ref, y_ref, xh_ref):
     """AD-mode normalize-apply: emits y = relu(xhat) AND xhat (the
-    backward residual) in one roofline pass; y aliases the conv buffer."""
+    backward residual) in one roofline pass; y aliases the conv buffer.
+
+    The relu max rides an f32 roundtrip: Mosaic on v5e rejects the bf16
+    vector comparison this otherwise lowers to ("Target does not
+    support this comparison", arith.cmpf on vector<8x128x2xbf16> —
+    round-5 local AOT compile; the same bug is the credible cause of
+    the remote helper's opaque 500 on the backward kernels)."""
     m = ms_ref[0].astype(out_ref.dtype)
     sc = ms_ref[1].astype(out_ref.dtype)
     xh = (out_ref[...] - m[None]) * sc[None]
     xh_ref[...] = xh
-    y_ref[...] = jax.nn.relu(xh)
+    y_ref[...] = jnp.maximum(xh.astype(jnp.float32), 0.0).astype(
+        out_ref.dtype)
 
 
 def _in_apply_ad_T(out, ms_rows):
@@ -513,7 +520,9 @@ def _make_bwd_stats_kernel(b_sz: int):
             st_ref[...] = jnp.zeros_like(st_ref)
 
         xh = xh_ref[0]                       # (h_blk, r, CO_BLK)
-        g = jnp.where(xh > 0, dy_ref[0], 0).astype(jnp.float32)
+        # f32 comparison: bf16 vector cmpf is a Mosaic error on v5e
+        g = jnp.where(xh.astype(jnp.float32) > 0,
+                      dy_ref[0].astype(jnp.float32), 0.0)
         hb_, r, co = g.shape
         n = hb_ * r
         gf = g.reshape(n, co)
@@ -556,10 +565,11 @@ def _in_bwd_stats_T(xh, dy, b_sz: int):
 
 
 def _bwd_apply_kernel(xh_ref, dy_ref, ms_ref, dc_ref):
-    """dc = scale * (g - m1 - xhat * m2), row-broadcast stats."""
+    """dc = scale * (g - m1 - xhat * m2), row-broadcast stats.
+    f32 comparison: bf16 vector cmpf is a Mosaic error on v5e."""
     dt = xh_ref.dtype
     xh = xh_ref[...]
-    g = jnp.where(xh > 0, dy_ref[...], 0)
+    g = jnp.where(xh.astype(jnp.float32) > 0, dy_ref[...], 0).astype(dt)
     m1 = ms_ref[0].astype(dt)
     m2 = ms_ref[1].astype(dt)
     sc = ms_ref[2].astype(dt)

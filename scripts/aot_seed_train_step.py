@@ -46,7 +46,17 @@ if "--remat-both" in sys.argv:
     sys.argv.remove("--remat-both")
     os.environ["MICA_AOT_REMAT_SCOPE"] = "both"
 os.environ["MICA_WINO_PALLAS"] = "1"
-os.environ["MICA_WINO_PALLAS_MIN"] = "32768"
+# geometry subset: --min N scopes the forced gate (production-auto set =
+# 32768; 131072 = the two big stage-3 geometries only — the memory-fit
+# configuration: each enabled conv site adds its xh residual to the
+# step's HLO-temp peak, and the all-five set exceeds HBM by 1.53 G
+# (XLA-EW) / 5.03 G (Pallas-EW) in the local v5e compile)
+_min = "32768"
+if "--min" in sys.argv:
+    i = sys.argv.index("--min")
+    _min = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
+os.environ["MICA_WINO_PALLAS_MIN"] = _min
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

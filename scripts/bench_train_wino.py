@@ -47,6 +47,13 @@ CONFIGS = [
     # viable formulation on this platform.
     ("pallas-wino vjp, XLA elementwise",
      {"MICA_TRAIN_WINO_PALLAS": "1", "MICA_WINO_AD_XLA_EW": "1"}),
+    # the memory-fit configuration (see scripts/aot_seed_train_step.py):
+    # wino VJP on the two big stage-3 geometries only — each enabled
+    # conv site adds its xh residual to the step's HLO-temp peak, and
+    # the all-five set exceeds the 15.75 G HBM in the v5e AOT compile
+    ("pallas-wino vjp big2, XLA elementwise",
+     {"MICA_TRAIN_WINO_PALLAS": "1", "MICA_WINO_AD_XLA_EW": "1",
+      "MICA_WINO_PALLAS": "1", "MICA_WINO_PALLAS_MIN": "131072"}),
 ]
 
 
